@@ -1,0 +1,204 @@
+"""Typed config tree with YAML loading and dotted CLI overrides.
+
+Replaces the reference's yacs schema (``Fall_2_Spatial_Temporal_SR/config.py``)
+and the Gen-3 hard-coded constants (``Multimodal_Fall3/main.py:274-320``)
+with one frozen dataclass tree. Field names are lowercase but map 1:1 onto the
+yacs keys so the shipped presets translate directly; ``num_classes`` is
+derived from data when a dataset provides labels, never mutated in place
+(the reference defrost/freeze dance, ``dataloader.py:19-32``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Mapping, Optional, Tuple, Union
+
+import yaml
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 100
+    label_smoothing: float = 0.0
+    max_norm: float = 100.0          # gradient clipping (global norm)
+    accum_iter: int = 1              # microbatch gradient accumulation
+    batch_size: int = 32
+    eval_batch_size: Optional[int] = None
+    dtype: str = "float32"           # compute dtype: float32 | bfloat16
+    drop_last: bool = True           # static shapes: drop ragged final batch
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "harup"           # harup | urfall | imvia | fukinect | synthetic
+    path: Optional[str] = None       # dataset root (CSV dir or pickle list)
+    in_channels: int = 3
+    num_classes: int = 11
+    sensor_dim: int = 15
+    seq_len: int = 30
+    num_joints: int = 14
+    split: Tuple[float, float, float] = (0.6, 0.2, 0.2)
+    split_by_video: bool = True      # video-level split (no window leakage)
+    n_folds: int = 10
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    layout: str = "coco_cut"
+    strategy: str = "spatial"
+    max_hop: int = 1
+    dilation: int = 1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    name: str = "stgcan"
+    # Free-form model-family kwargs (embed_dim, n_stage, act_type, ...).
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+    # Notebook-canonical GSTCAN applies F.softmax before CE (SURVEY.md 3.4);
+    # reproduce-or-not is a config switch for accuracy parity.
+    softmax_output: bool = False
+    # Package st_gcan adds channel attention before the residual add is the
+    # notebook variant; the packaged Gen-2 applies CA after TCN then +res.
+    ca_before_residual: bool = True
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    type: str = "rmsprop"
+    lr: float = 1e-3
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1.0e-8
+    rms_decay: float = 0.99          # torch RMSprop alpha
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    type: Optional[str] = None       # None | cosine | step | multistep
+    t_initial: int = 500
+    lr_min: float = 1.0e-5
+    warmup_t: int = 5
+    warmup_lr_init: float = 1.0e-4
+    decay_rate: float = 0.1
+    decay_steps: Tuple[int, ...] = ()
+
+
+@dataclass(frozen=True)
+class Config:
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    lr_scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    seed: int = 42
+    log_dir: Optional[str] = None
+    save_checkpoint: bool = True
+    resume_from: Optional[str] = None
+    pretrained_weight_path: Optional[str] = None
+    test_only: bool = False
+    top_k: Tuple[int, ...] = (1,)
+    logging_interval: int = 10
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Coerce YAML scalars onto dataclass field types (tuples, optionals)."""
+    origin = getattr(typ, "__origin__", None)
+    if value is None or value == "None":
+        return None
+    if origin is tuple and isinstance(value, (list, tuple)):
+        args = typ.__args__
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(args[0](v) for v in value)
+        return tuple(a(v) for a, v in zip(args, value))
+    if typ in (int, float, str, bool):
+        return typ(value)
+    return value
+
+
+def _build(cls, data: Mapping[str, Any]):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs: Dict[str, Any] = {}
+    for key, value in data.items():
+        k = key.lower()
+        if k not in fields:
+            raise KeyError(f"Unknown config key {key!r} for {cls.__name__}")
+        if k in _SECTION_TYPES:
+            kwargs[k] = _build(_SECTION_TYPES[k], value)
+        elif k == "kwargs":
+            kwargs[k] = dict(value)
+        else:
+            typ = hints[k]
+            if getattr(typ, "__origin__", None) is Union:  # Optional[...]
+                inner = [a for a in typ.__args__ if a is not type(None)]
+                typ = inner[0] if len(inner) == 1 else typ
+            kwargs[k] = _coerce(value, typ)
+    return cls(**kwargs)
+
+
+_SECTION_TYPES = {
+    "train": TrainConfig,
+    "data": DataConfig,
+    "model": ModelConfig,
+    "graph": GraphConfig,
+    "optim": OptimConfig,
+    "lr_scheduler": SchedulerConfig,
+}
+
+
+def _apply_override(tree: Dict[str, Any], dotted: str, value: Any) -> None:
+    keys = dotted.lower().split(".")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def load_config(
+    path: Optional[str] = None,
+    overrides: Optional[Mapping[str, Any]] = None,
+) -> Config:
+    """Load a YAML preset and apply dotted overrides.
+
+    ``overrides`` maps dotted keys (``"optim.lr"``, ``"data.num_classes"``)
+    to values; strings are parsed with YAML so ``"1e-3"`` becomes a float.
+    """
+    tree: Dict[str, Any] = {}
+    if path is not None:
+        with open(path) as fh:
+            loaded = yaml.safe_load(fh) or {}
+        tree = {k.lower(): v for k, v in loaded.items()}
+        for section in list(tree):
+            if isinstance(tree[section], dict):
+                tree[section] = {k.lower(): v for k, v in tree[section].items()}
+    for dotted, value in (overrides or {}).items():
+        if isinstance(value, str):
+            value = yaml.safe_load(value)
+        _apply_override(tree, dotted, value)
+    return _build(Config, tree)
+
+
+def preset_path(name: str) -> str:
+    """Path of a shipped preset, e.g. ``preset_path("two_stgcan_bilstm_harup")``."""
+    here = os.path.join(os.path.dirname(__file__), "presets", f"{name}.yaml")
+    if not os.path.exists(here):
+        available = sorted(
+            f[:-5]
+            for f in os.listdir(os.path.join(os.path.dirname(__file__), "presets"))
+            if f.endswith(".yaml")
+        )
+        raise FileNotFoundError(f"No preset {name!r}; available: {available}")
+    return here

@@ -1,0 +1,136 @@
+"""Optimizer + LR-schedule factory (optax).
+
+Capability parity with the reference factories
+(``Fall_2_Spatial_Temporal_SR/optimizer.py:8-35``,
+``Multimodal_Fall3/optimizer.py:8-31``): sgd / adam / adamw / rmsprop and
+step / multistep / cosine-with-warmup schedules. RMSprop is implemented to
+match torch's update exactly (eps added *outside* the sqrt; the workhorse
+optimizer of every reference experiment: RMSprop(lr=1e-3)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fall_multimodal_tpu.configs import Config, OptimConfig, SchedulerConfig
+
+
+class TorchRmsState(NamedTuple):
+    square_avg: optax.Updates
+
+
+def scale_by_torch_rms(decay: float = 0.99, eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.RMSprop (no momentum, uncentered):
+
+    ``s <- decay * s + (1-decay) * g^2;  update <- g / (sqrt(s) + eps)``.
+    """
+
+    def init(params):
+        return TorchRmsState(jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        sq = jax.tree.map(
+            lambda s, g: decay * s + (1.0 - decay) * jnp.square(g),
+            state.square_avg,
+            updates,
+        )
+        scaled = jax.tree.map(lambda g, s: g / (jnp.sqrt(s) + eps), updates, sq)
+        return scaled, TorchRmsState(sq)
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_schedule(
+    cfg: SchedulerConfig, base_lr: float, steps_per_epoch: int = 1
+) -> Union[float, optax.Schedule]:
+    """Epoch-granular schedules applied per optimizer step.
+
+    The reference steps its scheduler once per epoch (``main.py:321-322``);
+    we replicate by flooring step/steps_per_epoch to an epoch index.
+    """
+    if cfg.type is None:
+        return base_lr
+
+    if cfg.type == "cosine":
+        # timm CosineLRScheduler semantics: linear warmup from
+        # warmup_lr_init over warmup_t epochs, then cosine to lr_min at
+        # t_initial epochs.
+        def schedule(step):
+            epoch = jnp.floor(step / steps_per_epoch)
+            warm_frac = jnp.clip(epoch / jnp.maximum(cfg.warmup_t, 1), 0.0, 1.0)
+            warm_lr = cfg.warmup_lr_init + warm_frac * (base_lr - cfg.warmup_lr_init)
+            t = jnp.clip(
+                (epoch - cfg.warmup_t) / jnp.maximum(cfg.t_initial - cfg.warmup_t, 1),
+                0.0,
+                1.0,
+            )
+            cos_lr = cfg.lr_min + 0.5 * (base_lr - cfg.lr_min) * (1 + jnp.cos(jnp.pi * t))
+            return jnp.where(epoch < cfg.warmup_t, warm_lr, cos_lr)
+
+        return schedule
+
+    if cfg.type == "step":
+        def schedule(step):
+            epoch = jnp.floor(step / steps_per_epoch)
+            n_decays = jnp.floor(epoch / jnp.maximum(cfg.t_initial, 1))
+            return base_lr * (cfg.decay_rate ** n_decays)
+
+        return schedule
+
+    if cfg.type == "multistep":
+        boundaries = jnp.asarray(cfg.decay_steps, dtype=jnp.float32)
+
+        def schedule(step):
+            epoch = jnp.floor(step / steps_per_epoch)
+            n_decays = (epoch >= boundaries).sum()
+            return base_lr * (cfg.decay_rate ** n_decays)
+
+        return schedule
+
+    raise ValueError(f"Unknown LR scheduler type: {cfg.type!r}")
+
+
+def build_optimizer(
+    cfg: Union[Config, OptimConfig],
+    scheduler: Optional[SchedulerConfig] = None,
+    steps_per_epoch: int = 1,
+    max_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    if isinstance(cfg, Config):
+        scheduler = cfg.lr_scheduler
+        max_norm = cfg.train.max_norm
+        cfg = cfg.optim
+    lr = build_schedule(scheduler or SchedulerConfig(), cfg.lr, steps_per_epoch)
+
+    if cfg.type == "sgd":
+        core = optax.sgd(lr, momentum=cfg.momentum or None)
+        if cfg.weight_decay:
+            core = optax.chain(optax.add_decayed_weights(cfg.weight_decay), core)
+    elif cfg.type == "adam":
+        core = optax.adam(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps)
+        if cfg.weight_decay:
+            core = optax.chain(optax.add_decayed_weights(cfg.weight_decay), core)
+    elif cfg.type == "adamw":
+        core = optax.adamw(
+            lr,
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    elif cfg.type in ("rmsprop", "rms"):
+        core = optax.chain(
+            scale_by_torch_rms(decay=cfg.rms_decay, eps=cfg.eps),
+            optax.scale_by_learning_rate(lr),
+        )
+    else:
+        raise ValueError(f"Unknown optimizer type: {cfg.type!r}")
+
+    if max_norm is not None and max_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(max_norm), core)
+    return core

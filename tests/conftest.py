@@ -1,0 +1,23 @@
+"""Test substrate: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; the standard JAX stand-in is
+``--xla_force_host_platform_device_count`` (SURVEY.md section 4d). These env
+vars must be set before jax initializes its backends, hence module scope.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng() -> np.random.Generator:
+    return np.random.default_rng(42)
