@@ -1,0 +1,170 @@
+"""Dataset ingestion: real formats -> host `WindowedDataset` -> device arrays.
+
+Two on-disk formats from the reference pipeline are supported:
+
+* **Windowed pickles** (Gen 1/2 prep output, ``har_create4_sensor.py:146``):
+  ``(video_names, features(N,T,V,3), sensors(N,T,S), labels(N,K))`` or the
+  sensor-less ``(features, labels)`` / ``(video_names, features, labels)``.
+* **CSV-direct** (Gen 3, ``Multimodal_Fall3/dataloader.py:21-297``): a
+  directory tree of per-video CSVs with columns
+  ``video, frame, <13 joints x (x,y,score)>, label``; windows are sliced
+  stride-1 per video, NaN or short windows dropped, the window label is the
+  mean one-hot over frames, and pose is re-normalized + center-joint-extended
+  at load (the reference did this per fetch in ``Fall2Dataset``; we do it
+  once, vectorized).
+
+Features keep the TPU layout ``(N, T, V, C)`` end to end (the reference
+permutes to ``(C, T, V)`` for torch convs; we never do).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from fall_multimodal_tpu.data.preprocess import (
+    add_center_joint,
+    scale_pose,
+    sliding_windows,
+)
+from fall_multimodal_tpu.data.synthetic import WindowedDataset, make_synthetic
+from fall_multimodal_tpu.data.splits import kfold_indices, train_valid_test_split
+
+
+def load_pickle_windows(paths: Sequence[str]) -> WindowedDataset:
+    """Load and concatenate Gen-1/2 windowed pickles."""
+    videos: List[np.ndarray] = []
+    feats: List[np.ndarray] = []
+    sens: List[np.ndarray] = []
+    labs: List[np.ndarray] = []
+    has_sensor = True
+    for path in paths:
+        with open(path, "rb") as fh:
+            blob = pickle.load(fh)
+        if len(blob) == 4:
+            vid, f, s, l = blob
+        elif len(blob) == 3:
+            vid, f, l = blob
+            s, has_sensor = None, False
+        elif len(blob) == 2:
+            f, l = blob
+            vid = np.asarray([f"{os.path.basename(path)}:{i}" for i in range(len(f))])
+            s, has_sensor = None, False
+        else:
+            raise ValueError(f"Unrecognized pickle structure in {path}")
+        videos.append(np.asarray(vid))
+        feats.append(np.asarray(f, dtype=np.float32))
+        labs.append(np.asarray(l, dtype=np.float32))
+        if s is not None:
+            sens.append(np.asarray(s, dtype=np.float32))
+
+    return WindowedDataset(
+        features=np.concatenate(feats),
+        labels=np.concatenate(labs),
+        sensors=np.concatenate(sens) if has_sensor and sens else None,
+        videos=np.concatenate(videos),
+    )
+
+
+def load_csv_windows(
+    dataset_dir: str,
+    seq_len: int = 30,
+    rescale_pose: bool = True,
+    center_joint: bool = True,
+) -> WindowedDataset:
+    """Gen-3 CSV-direct loader (requires pandas; host-side, runs once)."""
+    import pandas as pd
+
+    csv_paths = sorted(
+        os.path.join(root, f)
+        for root, _, files in os.walk(dataset_dir)
+        for f in files
+        if f.endswith(".csv")
+    )
+    if not csv_paths:
+        raise FileNotFoundError(f"No CSVs under {dataset_dir}")
+    df = pd.concat([pd.read_csv(p) for p in csv_paths], axis=0)
+    label_onehot = pd.get_dummies(df["label"])
+    classes = list(label_onehot.columns)
+    df = pd.concat([df.drop(["label"], axis=1), label_onehot], axis=1)
+
+    all_feats, all_labs, all_vids = [], [], []
+    for video_name in np.unique(df["video"]):
+        vdf = df[df["video"] == video_name]
+        skel = vdf.drop(["video", "frame"] + classes, axis=1).to_numpy(np.float32)
+        labs = vdf[classes].to_numpy(np.float32)
+        # stride-1 windows; drop any window containing NaN
+        f_windows = sliding_windows(skel, seq_len, drop_last=False)
+        l_windows = sliding_windows(labs, seq_len, drop_last=False)
+        keep = ~np.isnan(f_windows).any(axis=(1, 2))
+        f_windows = f_windows[keep].reshape(-1, seq_len, skel.shape[1] // 3, 3)
+        l_means = l_windows[keep].mean(axis=1)
+        all_feats.append(f_windows)
+        all_labs.append(l_means)
+        all_vids.append(np.repeat(video_name, len(f_windows)))
+
+    feats = np.concatenate(all_feats)
+    labs = np.concatenate(all_labs)
+    vids = np.concatenate(all_vids)
+    if rescale_pose:
+        feats = feats.copy()
+        feats[..., :2] = scale_pose(feats[..., :2])
+    if center_joint:
+        feats = add_center_joint(feats)
+    return WindowedDataset(features=feats, labels=labs, videos=vids)
+
+
+def load_dataset(
+    dataset: str,
+    path: Optional[str] = None,
+    seq_len: int = 30,
+    num_joints: int = 14,
+    num_classes: int = 11,
+    sensor_dim: int = 15,
+    seed: int = 0,
+    n_windows: int = 1024,
+) -> WindowedDataset:
+    """Uniform entry: real data when ``path`` is given, else synthetic with
+    the dataset's canonical shapes."""
+    shape_presets = {
+        "harup": dict(num_classes=11, sensor_dim=15),
+        "urfall": dict(num_classes=2, sensor_dim=4),
+        "imvia": dict(num_classes=2, sensor_dim=0),
+        "fukinect": dict(num_classes=4, sensor_dim=0),
+    }
+    if path is not None:
+        if os.path.isdir(path):
+            return load_csv_windows(path, seq_len=seq_len)
+        paths = [path] if isinstance(path, str) else list(path)
+        return load_pickle_windows(paths)
+    preset = shape_presets.get(dataset, {})
+    return make_synthetic(
+        n_windows=n_windows,
+        seq_len=seq_len,
+        num_joints=num_joints,
+        num_classes=preset.get("num_classes", num_classes),
+        sensor_dim=preset.get("sensor_dim", sensor_dim),
+        seed=seed,
+    )
+
+
+def split_dataset(
+    data: WindowedDataset,
+    split=(0.6, 0.2, 0.2),
+    seed: int = 42,
+    by_video: bool = True,
+) -> Dict[str, WindowedDataset]:
+    idx = train_valid_test_split(data.videos, split=split, seed=seed, by_video=by_video)
+    return {name: data.subset(i) for name, i in idx.items()}
+
+
+def kfold_datasets(
+    data: WindowedDataset, n_folds: int = 10, seed: int = 42, by_video: bool = True
+) -> List[Dict[str, WindowedDataset]]:
+    folds = kfold_indices(data.videos, n_folds=n_folds, seed=seed, by_video=by_video)
+    return [
+        {name: data.subset(i) for name, i in fold.items()} for fold in folds
+    ]
