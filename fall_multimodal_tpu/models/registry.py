@@ -1,0 +1,105 @@
+"""Model factory: config -> flax module.
+
+Capability of ``Model/build_model.py:5-19`` (which is broken in the
+reference: wrong import paths), extended to every model family in the
+inventory. All returned modules share the forward contract
+``module.apply(vars, skeleton, sensor, train=...) -> (N, K) logits``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import flax.linen as nn
+
+from fall_multimodal_tpu.configs import Config
+from fall_multimodal_tpu.models.fusion import (
+    STGCANClassifier,
+    ThreeStreamGSTCAN,
+    TwoStreamSTGCAN,
+)
+from fall_multimodal_tpu.models.sensors import BiLSTMHead, CnnBiLSTMHead
+
+_REGISTRY: Dict[str, Callable[[Config, Dict[str, Any]], nn.Module]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def model_names():
+    return sorted(_REGISTRY)
+
+
+def build_model(config: Config) -> nn.Module:
+    name = config.model.name
+    if name not in _REGISTRY:
+        raise ValueError(f"Unknown model {name!r}; available: {model_names()}")
+    return _REGISTRY[name](config, dict(config.model.kwargs))
+
+
+class _SensorOnly(nn.Module):
+    """Adapts a sensor head onto the (skeleton, sensor) forward contract."""
+
+    head: nn.Module
+
+    @nn.compact
+    def __call__(self, skeleton, sensor, train: bool = False):
+        return self.head(sensor, train=train)
+
+
+@register("stgcan")
+@register("stgcn")  # reference alias
+def _stgcan(cfg: Config, kw):
+    return STGCANClassifier(
+        num_classes=cfg.data.num_classes,
+        graph_layout=cfg.graph.layout,
+        graph_strategy=cfg.graph.strategy,
+        **kw,
+    )
+
+
+@register("two_stgcan")
+def _two_stgcan(cfg: Config, kw):
+    return TwoStreamSTGCAN(
+        num_classes=cfg.data.num_classes,
+        graph_layout=cfg.graph.layout,
+        graph_strategy=cfg.graph.strategy,
+        **kw,
+    )
+
+
+@register("two_stgcan_bilstm")
+def _two_stgcan_bilstm(cfg: Config, kw):
+    kw.setdefault("sensor_encoder", "bilstm")
+    return ThreeStreamGSTCAN(
+        num_classes=cfg.data.num_classes,
+        graph_layout=cfg.graph.layout,
+        graph_strategy=cfg.graph.strategy,
+        **kw,
+    )
+
+
+@register("gstcan_3stream")
+def _gstcan_3stream(cfg: Config, kw):
+    kw.setdefault("sensor_encoder", "cnn_bilstm")
+    return ThreeStreamGSTCAN(
+        num_classes=cfg.data.num_classes,
+        graph_layout=cfg.graph.layout,
+        graph_strategy=cfg.graph.strategy,
+        **kw,
+    )
+
+
+@register("bilstm")
+def _bilstm(cfg: Config, kw):
+    return _SensorOnly(BiLSTMHead(num_classes=cfg.data.num_classes, **kw))
+
+
+@register("cnn_bilstm")
+def _cnn_bilstm(cfg: Config, kw):
+    return _SensorOnly(CnnBiLSTMHead(num_classes=cfg.data.num_classes, **kw))

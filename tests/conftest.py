@@ -7,12 +7,21 @@ vars must be set before jax initializes its backends, hence module scope.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin self-registers via sitecustomize and overrides
+# JAX_PLATFORMS; the config update below wins over both. Tests also pin
+# matmul precision to float32 — parity assertions would otherwise see
+# bf16 MXU rounding when a TPU is attached.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
