@@ -22,13 +22,13 @@ All models share one forward contract:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from fall_multimodal_tpu.models.sensors import build_sensor_encoder
-from fall_multimodal_tpu.models.stgcan import STGCANBackbone, motion_stream
+from fall_multimodal_tpu.models.stgcan import STGCAN_STAGES, STGCANBackbone, motion_stream
 
 
 class STGCANClassifier(nn.Module):
@@ -36,6 +36,7 @@ class STGCANClassifier(nn.Module):
     graph_layout: str = "coco_cut"
     graph_strategy: str = "spatial"
     dropout: float = 0.0
+    stages: Sequence[Tuple[int, int, bool]] = STGCAN_STAGES
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -44,6 +45,7 @@ class STGCANClassifier(nn.Module):
             graph_strategy=self.graph_strategy,
             num_classes=self.num_classes,
             dropout=self.dropout,
+            stages=self.stages,
         )(skeleton, train=train)
 
 
@@ -52,6 +54,7 @@ class TwoStreamSTGCAN(nn.Module):
     graph_layout: str = "coco_cut"
     graph_strategy: str = "spatial"
     dropout: float = 0.0
+    stages: Sequence[Tuple[int, int, bool]] = STGCAN_STAGES
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -60,6 +63,7 @@ class TwoStreamSTGCAN(nn.Module):
             graph_layout=self.graph_layout,
             graph_strategy=self.graph_strategy,
             dropout=self.dropout,
+            stages=self.stages,
         )
         pts = STGCANBackbone(name="pts_stream", **kw)(skeleton, train=train)
         mos = STGCANBackbone(name="mot_stream", **kw)(mot, train=train)
@@ -74,6 +78,7 @@ class ThreeStreamGSTCAN(nn.Module):
     graph_strategy: str = "spatial"
     sensor_encoder: str = "bilstm"  # bilstm (packaged Gen-2) | cnn_bilstm (notebook)
     dropout: float = 0.0
+    stages: Sequence[Tuple[int, int, bool]] = STGCAN_STAGES
 
     @nn.compact
     def __call__(self, skeleton, sensor, train: bool = False):
@@ -82,6 +87,7 @@ class ThreeStreamGSTCAN(nn.Module):
             graph_layout=self.graph_layout,
             graph_strategy=self.graph_strategy,
             dropout=self.dropout,
+            stages=self.stages,
         )
         pts = STGCANBackbone(name="pts_stream", **kw)(skeleton, train=train)
         mos = STGCANBackbone(name="mot_stream", **kw)(mot, train=train)

@@ -1,0 +1,253 @@
+"""Jitted training / evaluation engine.
+
+TPU-first structure: an epoch is ONE jitted ``lax.scan`` over a shuffled
+(steps, batch) index matrix gathered from HBM-resident splits — the
+capability of the reference per-batch python loop (``main.py:91-148``)
+with zero host round-trips. Eval likewise scans and accumulates a confusion
+matrix on device; only final scalars land on host.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fall_multimodal_tpu.data.pipeline import (
+    DeviceData,
+    epoch_batch_indices,
+    eval_batch_indices,
+    eval_batch_mask,
+    gather_batch,
+)
+from fall_multimodal_tpu.train.losses import cross_entropy
+from fall_multimodal_tpu.train.metrics import prf_from_confusion
+from fall_multimodal_tpu.train.state import TrainState
+
+
+class EvalResult(NamedTuple):
+    loss: float
+    accuracy: float
+    confusion: np.ndarray
+    stats: Dict[str, Any]
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    label_smoothing: float = 0.0,
+    softmax_before_ce: bool = False,
+) -> Callable[[TrainState, DeviceData], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """One optimizer step: forward (train-mode BN + dropout), loss, grads,
+    update. Returns (new_state, {loss, accuracy})."""
+
+    def step(state: TrainState, batch: DeviceData):
+        step_key = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(
+                variables,
+                batch.features,
+                batch.sensors,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_key},
+            )
+            loss = cross_entropy(
+                out,
+                batch.labels,
+                label_smoothing=label_smoothing,
+                softmax_before_ce=softmax_before_ce,
+            )
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        acc = (
+            (jnp.argmax(logits, -1) == jnp.argmax(batch.labels, -1))
+            .astype(jnp.float32)
+            .mean()
+        )
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return step
+
+
+def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=False):
+    """Jitted whole-epoch function: (state, data, batch_idx) -> (state, metrics)."""
+    train_step = make_train_step(model, optimizer, label_smoothing, softmax_before_ce)
+
+    @jax.jit
+    def epoch(state: TrainState, data: DeviceData, batch_idx: jnp.ndarray):
+        def body(st, idx):
+            return train_step(st, gather_batch(data, idx))
+
+        state, metrics = jax.lax.scan(body, state, batch_idx)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return epoch
+
+
+def make_eval_epoch(model, num_classes: int, label_smoothing=0.0, softmax_before_ce=False):
+    """Jitted eval: scans padded batches, accumulates masked confusion matrix
+    and loss; returns (confusion (K,K), loss_sum, n)."""
+
+    @jax.jit
+    def epoch(
+        state: TrainState,
+        data: DeviceData,
+        batch_idx: jnp.ndarray,
+        batch_mask: jnp.ndarray,
+    ):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(carry, inp):
+            cm, loss_sum = carry
+            idx, mask = inp
+            batch = gather_batch(data, idx)
+            logits = model.apply(
+                variables, batch.features, batch.sensors, train=False
+            )
+            target = jnp.argmax(batch.labels, -1)
+            pred = jnp.argmax(logits, -1)
+            flat = target * num_classes + pred
+            counts = jax.nn.one_hot(flat, num_classes * num_classes) * mask[:, None]
+            cm = cm + counts.sum(0).reshape(num_classes, num_classes)
+            per_sample = cross_entropy_per_sample(
+                logits, batch.labels, label_smoothing, softmax_before_ce
+            )
+            loss_sum = loss_sum + (per_sample * mask).sum()
+            return (cm, loss_sum), None
+
+        init = (jnp.zeros((num_classes, num_classes)), jnp.zeros(()))
+        (cm, loss_sum), _ = jax.lax.scan(body, init, (batch_idx, batch_mask))
+        return cm, loss_sum
+
+    return epoch
+
+
+def cross_entropy_per_sample(logits, target, label_smoothing=0.0, softmax_before_ce=False):
+    from fall_multimodal_tpu.train.losses import one_hot_if_needed, smooth_labels
+
+    target = one_hot_if_needed(target, logits.shape[-1]).astype(logits.dtype)
+    target = smooth_labels(target, label_smoothing)
+    if softmax_before_ce:
+        logits = jax.nn.softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -(target * logp).sum(axis=-1)
+
+
+def evaluate(
+    eval_epoch,
+    state: TrainState,
+    data: DeviceData,
+    batch_size: int,
+) -> EvalResult:
+    idx = jnp.asarray(eval_batch_indices(data.n, batch_size))
+    mask = jnp.asarray(eval_batch_mask(data.n, batch_size), jnp.float32)
+    cm, loss_sum = eval_epoch(state, data, idx, mask)
+    cm = np.asarray(cm)
+    stats = {k: np.asarray(v) for k, v in prf_from_confusion(jnp.asarray(cm)).items()}
+    return EvalResult(
+        loss=float(loss_sum) / data.n,
+        accuracy=float(stats["accuracy"]),
+        confusion=cm,
+        stats=stats,
+    )
+
+
+class FitResult(NamedTuple):
+    state: TrainState
+    best_state: TrainState
+    best_val_accuracy: float
+    history: Dict[str, list]
+    test: Optional[EvalResult]
+
+
+def fit(
+    model,
+    optimizer,
+    state: TrainState,
+    splits: Dict[str, DeviceData],
+    epochs: int,
+    batch_size: int,
+    num_classes: int,
+    label_smoothing: float = 0.0,
+    softmax_before_ce: bool = False,
+    drop_last: bool = True,
+    shuffle_seed: int = 0,
+    logger=None,
+    log_every: int = 10,
+    checkpointer=None,
+) -> FitResult:
+    """Epoch driver: train -> valid (track best) -> final test on best.
+
+    Capability of the reference ``run()`` (``main.py:253-348``): best-model
+    tracking on validation accuracy, resumable state, final reload-best-then
+    -test. Host work per epoch is one shuffle-key fold and a few scalars.
+    """
+    train_epoch = make_train_epoch(model, optimizer, label_smoothing, softmax_before_ce)
+    eval_epoch = make_eval_epoch(model, num_classes, label_smoothing, softmax_before_ce)
+
+    shuffle_key = jax.random.key(shuffle_seed)
+    history: Dict[str, list] = {
+        "train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [],
+        "epoch_time": [],
+    }
+    best_state, best_acc = state, -1.0
+
+    for epoch_i in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        ekey = jax.random.fold_in(shuffle_key, epoch_i)
+        idx = epoch_batch_indices(ekey, splits["train"].n, batch_size, drop_last)
+        state, tm = train_epoch(state, splits["train"], idx)
+        val = evaluate(eval_epoch, state, splits["valid"], batch_size)
+        dt = time.perf_counter() - t0
+
+        history["train_loss"].append(float(tm["loss"]))
+        history["train_acc"].append(float(tm["accuracy"]))
+        history["val_loss"].append(val.loss)
+        history["val_acc"].append(val.accuracy)
+        history["epoch_time"].append(dt)
+
+        if val.accuracy > best_acc:
+            best_acc, best_state = val.accuracy, state
+            if checkpointer is not None:
+                checkpointer.save_best(state, epoch_i, best_acc)
+
+        if logger and (epoch_i % log_every == 0 or epoch_i == epochs):
+            logger.info(
+                f"epoch {epoch_i}/{epochs} "
+                f"train loss {float(tm['loss']):.4f} acc {float(tm['accuracy']):.4f} | "
+                f"val loss {val.loss:.4f} acc {val.accuracy:.4f} | {dt:.2f}s"
+            )
+        if checkpointer is not None:
+            checkpointer.save_latest(state, epoch_i, best_acc)
+
+    test = None
+    if "test" in splits and splits["test"].n > 0:
+        test = evaluate(eval_epoch, best_state, splits["test"], batch_size)
+    return FitResult(
+        state=state,
+        best_state=best_state,
+        best_val_accuracy=best_acc,
+        history=history,
+        test=test,
+    )

@@ -1,0 +1,47 @@
+"""Train state: one pytree carrying everything a training run mutates.
+
+Replaces the reference's scattered epoch/model/optimizer/scheduler/scaler
+checkpoint dict (``main.py:332-341``) with a single structure that threads
+through jitted scans and checkpoints atomically via orbax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray          # scalar int32
+    rng: jax.Array             # dropout / DropGraph key, folded per step
+
+
+def create_train_state(
+    model: nn.Module,
+    optimizer: optax.GradientTransformation,
+    sample_skeleton: jnp.ndarray,
+    sample_sensor: jnp.ndarray,
+    seed: int = 42,
+) -> TrainState:
+    init_key, run_key = jax.random.split(jax.random.key(seed))
+    variables = model.init(init_key, sample_skeleton, sample_sensor, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=run_key,
+    )
+
+
+def param_count(state: TrainState) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(state.params))

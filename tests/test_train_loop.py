@@ -1,0 +1,106 @@
+"""End-to-end training tests: overfit a tiny synthetic set per model family
+(the test strategy SURVEY.md section 4e prescribes for the rebuild).
+
+The CI box has a single CPU core, so skeleton models run with a reduced
+3-block stage plan — the code path (GCN/TCN/SE/residual/fusion/scan-epoch)
+is identical to the full 7-block production stack.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fall_multimodal_tpu.configs import load_config, preset_path
+from fall_multimodal_tpu.data import make_synthetic, split_dataset, to_device
+from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.train import (
+    build_optimizer,
+    create_train_state,
+    evaluate,
+    fit,
+    make_eval_epoch,
+)
+
+TINY_STAGES = ((16, 1, False), (16, 1, True), (32, 2, True))
+
+
+def _device_splits(num_classes, sensor_dim, n=160, seed=0):
+    data = make_synthetic(
+        n_windows=n,
+        num_classes=num_classes,
+        sensor_dim=sensor_dim,
+        noise=0.05,
+        windows_per_video=8,
+        seed=seed,
+    )
+    splits = split_dataset(data, split=(0.7, 0.15, 0.15), seed=1)
+    return {k: to_device(v) for k, v in splits.items()}
+
+
+def _run(preset, num_classes, sensor_dim, epochs=10, overrides=None, n=160):
+    cfg = load_config(preset_path(preset), overrides=overrides)
+    splits = _device_splits(num_classes, sensor_dim, n=n)
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model,
+        optimizer,
+        splits["train"].features[:2],
+        splits["train"].sensors[:2],
+        seed=cfg.seed,
+    )
+    return fit(
+        model,
+        optimizer,
+        state,
+        splits,
+        epochs=epochs,
+        batch_size=32,
+        num_classes=num_classes,
+        softmax_before_ce=cfg.model.softmax_output,
+    )
+
+
+def test_bilstm_learns_synthetic():
+    result = _run("bilstm", num_classes=4, sensor_dim=6, epochs=12,
+                  overrides={"data.num_classes": 4})
+    assert result.history["train_acc"][-1] > 0.85
+    assert result.best_val_accuracy > 0.7
+    assert result.test is not None
+
+
+def test_cnn_bilstm_learns_synthetic():
+    result = _run("sensor_cnn_bilstm_urfall", num_classes=2, sensor_dim=4, epochs=10)
+    assert result.history["train_acc"][-1] > 0.85
+
+
+def test_stgcan_learns_synthetic():
+    result = _run(
+        "default", num_classes=4, sensor_dim=0, epochs=10,
+        overrides={"data.num_classes": 4, "model.kwargs": {"stages": TINY_STAGES}},
+    )
+    assert result.history["train_acc"][-1] > 0.8
+
+
+def test_three_stream_gstcan_learns_synthetic():
+    result = _run(
+        "gstcan_urfall_3stream", num_classes=2, sensor_dim=4, epochs=6,
+        overrides={"model.kwargs": {"stages": TINY_STAGES, "sensor_encoder": "cnn_bilstm"}},
+    )
+    assert result.history["train_acc"][-1] > 0.8
+    assert result.history["train_loss"][-1] < result.history["train_loss"][0]
+
+
+def test_evaluate_confusion_consistency():
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    splits = _device_splits(3, 6, n=96)
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, splits["train"].features[:2], splits["train"].sensors[:2]
+    )
+    eval_epoch = make_eval_epoch(model, 3)
+    res = evaluate(eval_epoch, state, splits["valid"], batch_size=16)
+    assert res.confusion.sum() == splits["valid"].n
+    assert 0.0 <= res.accuracy <= 1.0
+    assert res.loss > 0
