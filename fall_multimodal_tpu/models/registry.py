@@ -103,3 +103,30 @@ def _bilstm(cfg: Config, kw):
 @register("cnn_bilstm")
 def _cnn_bilstm(cfg: Config, kw):
     return _SensorOnly(CnnBiLSTMHead(num_classes=cfg.data.num_classes, **kw))
+
+
+@register("musa")
+def _musa(cfg: Config, kw):
+    from fall_multimodal_tpu.models.musa import MusaModel
+
+    kw.pop("max_frame", None)  # reference ctor arg, unused by the math
+    return MusaModel(
+        num_classes=cfg.data.num_classes,
+        graph_layout=cfg.graph.layout,
+        graph_strategy=cfg.graph.strategy,
+        **kw,
+    )
+
+
+@register("musa_ablation")
+def _musa_ablation(cfg: Config, kw):
+    from fall_multimodal_tpu.models.musa import MusaModel
+
+    kw.pop("max_frame", None)
+    kw["with_tail"] = False
+    return MusaModel(
+        num_classes=cfg.data.num_classes,
+        graph_layout=cfg.graph.layout,
+        graph_strategy=cfg.graph.strategy,
+        **kw,
+    )
