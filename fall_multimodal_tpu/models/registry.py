@@ -130,3 +130,14 @@ def _musa_ablation(cfg: Config, kw):
         graph_strategy=cfg.graph.strategy,
         **kw,
     )
+
+
+@register("targcn")
+def _targcn(cfg: Config, kw):
+    from fall_multimodal_tpu.models.targcn import TARGCN
+
+    return TARGCN(
+        num_classes=cfg.data.num_classes,
+        num_nodes=cfg.data.num_joints,
+        **kw,
+    )
