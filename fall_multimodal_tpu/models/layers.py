@@ -23,7 +23,7 @@ def activation_factory(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarr
         "relu": nn.relu,
         "leakyrelu": lambda x: nn.leaky_relu(x, negative_slope=0.2),
         "tanh": jnp.tanh,
-        "gelu": nn.gelu,
+        "gelu": lambda x: nn.gelu(x, approximate=False),  # torch-exact erf
         "hardswish": nn.hard_swish,
         "linear": lambda x: x,
         None: lambda x: x,

@@ -141,3 +141,28 @@ def _targcn(cfg: Config, kw):
         num_nodes=cfg.data.num_joints,
         **kw,
     )
+
+
+@register("skeleton_transformer")
+def _skeleton_transformer(cfg: Config, kw):
+    from fall_multimodal_tpu.models.skeleton_transformer import SkeletonTransformer
+
+    return SkeletonTransformer(
+        num_classes=cfg.data.num_classes,
+        n_joints=cfg.data.num_joints,
+        seq_len=cfg.data.seq_len,
+        **kw,
+    )
+
+
+@register("skeleton_transformer_factorized")
+def _skeleton_transformer_fact(cfg: Config, kw):
+    from fall_multimodal_tpu.models.skeleton_transformer import SkeletonTransformer
+
+    kw["factorized"] = True
+    return SkeletonTransformer(
+        num_classes=cfg.data.num_classes,
+        n_joints=cfg.data.num_joints,
+        seq_len=cfg.data.seq_len,
+        **kw,
+    )

@@ -1,0 +1,274 @@
+"""Skeleton transformer: factorized spatial/temporal relative-position MHSA.
+
+Capability of the reference ``skeleton_transformer.py:100-514``: a joint
+embedding MLP, a stack of B2T ("bottom-to-top residual") blocks that apply
+spatial (over joints) then temporal (over frames) relative-position
+multi-head self-attention plus an FFN, with stochastic depth ramping 0->0.5
+across blocks, and a pooled 1x1 head. Variants: PreNorm block, parallel
+spatial+temporal block, plain B2T block, DenseNet-style GrowthBlock, and the
+spatial-then-temporal factorized Ablation1.
+
+Layout: the reference threads (N, C, T, V, M) and permutes around every
+norm/attention; here the resident layout is (N, M, T, V, C) — channels last,
+no permutes in the hot path, attention contractions hit the MXU directly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RelPosMHSA(nn.Module):
+    """Relative-position MHSA over the second-to-last axis
+    (``skeleton_transformer.py:100-157``).
+
+    x: (..., L, C). Attention over L with a learnable (2L-1, head_dim) bias
+    table indexed by pairwise offsets, added as q . bias[rel] before softmax.
+    The reference scales only the content logits (``dot_prod * scale``), not
+    the positional term — reproduced.
+    """
+
+    head_dim: int = 16
+    n_heads: int = 8
+    seq_len: int = 32  # table size; attention length must equal this
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        l = x.shape[-2]
+        h, hd = self.n_heads, self.head_dim
+        e = h * hd
+
+        qkv = nn.Dense(3 * e, name="w_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # (..., L, E) -> (..., H, L, HD)
+            t = t.reshape(t.shape[:-1] + (h, hd))
+            return jnp.swapaxes(t, -2, -3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+
+        logits = jnp.einsum("...id,...jd->...ij", q, k) * (e ** -0.5)
+
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            (2 * self.seq_len - 1, hd),
+        )
+        rel = np.arange(l)[:, None] - np.arange(l)[None, :] + self.seq_len - 1
+        pos_bias = table[jnp.asarray(rel)]                     # (L, L, HD)
+        logits = logits + jnp.einsum("...id,ijd->...ij", q, pos_bias)
+
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("...ij,...jd->...id", attn, v)
+        out = jnp.swapaxes(out, -2, -3)
+        out = out.reshape(out.shape[:-2] + (e,))
+        return nn.Dense(c_in, name="merge")(out)
+
+
+class StochasticDepth(nn.Module):
+    """Batch-mode stochastic depth (torchvision semantics,
+    ``skeleton_transformer.py:226``): the whole residual branch drops with
+    probability p at train time, scaled by 1/(1-p) otherwise."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate <= 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        gate = jax.random.bernoulli(self.make_rng("dropout"), keep)
+        return jnp.where(gate, x / keep, jnp.zeros_like(x))
+
+
+def _norm(kind: str, name: str):
+    if kind == "layernorm":
+        return nn.LayerNorm(epsilon=1e-5, name=name)
+    if kind == "batchnorm":
+        # BatchNorm3d over channels (N,M,T,V,C stats over N,M,T,V)
+        return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5, name=name)
+    raise ValueError(kind)
+
+
+class FFN(nn.Module):
+    expand: float = 4.0
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = x.shape[-1]
+        y = nn.Dense(int(c * self.expand))(x)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
+        y = nn.Dense(c)(y)
+        return nn.Dropout(self.dropout, deterministic=not train)(y)
+
+
+class B2TSpatialTemporalBlock(nn.Module):
+    """Spatial MHSA -> temporal MHSA -> FFN with B2T residual (the final add
+    reaches back to the block input, ``skeleton_transformer.py:229-248``)."""
+
+    head_dim: int
+    n_heads: int
+    n_joints: int
+    seq_len: int
+    ffn_expand: float = 4.0
+    ffn_dropout: float = 0.5
+    normalization: str = "batchnorm"
+    sd_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (N, M, T, V, C)
+        sd = StochasticDepth(self.sd_rate)
+
+        def norm(name, y):
+            layer = _norm(self.normalization, name)
+            if self.normalization == "batchnorm":
+                return layer(y, use_running_average=not train)
+            return layer(y)
+
+        spatial = RelPosMHSA(
+            self.head_dim, self.n_heads, self.n_joints, name="spatial_attn"
+        )
+        out = x + sd(spatial(x), train)
+        out = norm("norm1", out)
+
+        # temporal: swap T and V so attention runs over T
+        out_t = jnp.swapaxes(out, -3, -2)                    # (N, M, V, T, C)
+        temporal = RelPosMHSA(
+            self.head_dim, self.n_heads, self.seq_len, name="temporal_attn"
+        )
+        out_t = out_t + sd(temporal(out_t), train)
+        out_t = norm("norm2", out_t)
+        out = jnp.swapaxes(out_t, -3, -2)                    # back to (..., T, V, C)
+
+        ffn = FFN(self.ffn_expand, self.ffn_dropout, name="ffn")
+        out = out + sd(ffn(out, train), train)
+        out = x + out                                        # B2T residual
+        return norm("norm3", out)
+
+
+class B2TBlock(nn.Module):
+    """Single-axis B2T block (``skeleton_transformer.py:291-320``): MHSA over
+    the second-to-last axis + FFN, B2T residual, LayerNorm."""
+
+    head_dim: int
+    n_heads: int
+    attn_len: int
+    ffn_expand: float = 4.0
+    ffn_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        attn = RelPosMHSA(self.head_dim, self.n_heads, self.attn_len, name="attn")
+        out = x + attn(x)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm1")(out)
+        out = out + FFN(self.ffn_expand, self.ffn_dropout, name="ffn")(out, train)
+        out = x + out
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(out)
+
+
+class ParallelB2TBlock(nn.Module):
+    """Parallel spatial+temporal attention variant
+    (``skeleton_transformer.py:253-286``)."""
+
+    head_dim: int
+    n_heads: int
+    n_joints: int
+    seq_len: int
+    ffn_expand: float = 4.0
+    ffn_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spatial = RelPosMHSA(self.head_dim, self.n_heads, self.n_joints, name="spatial_attn")
+        temporal = RelPosMHSA(self.head_dim, self.n_heads, self.seq_len, name="temporal_attn")
+        x_t = jnp.swapaxes(x, -3, -2)
+        out = x + spatial(x) + jnp.swapaxes(temporal(x_t), -3, -2)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm1")(out)
+        out = out + FFN(self.ffn_expand, self.ffn_dropout, name="ffn")(out, train)
+        out = x + out
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(out)
+
+
+class GrowthBlock(nn.Module):
+    """DenseNet-style concat growth (``skeleton_transformer.py:322-348``)."""
+
+    head_dim: int
+    n_heads: int
+    n_joints: int
+    seq_len: int
+    growth: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = B2TBlock(self.head_dim, self.n_heads, self.n_joints, name="block")(
+            x, train=train
+        )
+        y = nn.Dense(self.growth)(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
+        y = nn.LayerNorm(epsilon=1e-5)(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class SkeletonTransformer(nn.Module):
+    """Embedding MLP -> n B2T spatial-temporal blocks (stochastic depth
+    0 -> 0.5) -> pooled 1x1 head (``skeleton_transformer.py:360-435``).
+
+    Input skeleton: (N, T, V, C) or (N, M, T, V, C) with M persons.
+    """
+
+    num_classes: int
+    n_joints: int = 14
+    seq_len: int = 30
+    embedding_dim: int = 32
+    n_block: int = 6
+    head_dim: int = 16
+    n_heads: int = 8
+    factorized: bool = False  # Ablation1: all-spatial then all-temporal
+
+    @nn.compact
+    def __call__(self, skeleton, sensor=None, train: bool = False):
+        x = skeleton
+        if x.ndim == 4:
+            x = x[:, None]                                  # add M=1 persons
+        # embed: Linear(C -> E/2) GELU Linear(E/2 -> E) GELU
+        y = nn.Dense(self.embedding_dim // 2, name="embed1")(x)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
+        y = nn.Dense(self.embedding_dim, name="embed2")(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
+
+        if not self.factorized:
+            sd_rates = np.linspace(0.0, 0.5, self.n_block)
+            for i in range(self.n_block):
+                y = B2TSpatialTemporalBlock(
+                    head_dim=self.head_dim,
+                    n_heads=self.n_heads,
+                    n_joints=self.n_joints,
+                    seq_len=self.seq_len,
+                    normalization="batchnorm",
+                    sd_rate=float(sd_rates[i]),
+                    name=f"block{i}",
+                )(y, train=train)
+        else:
+            for i in range(self.n_block // 2):
+                y = B2TBlock(
+                    self.head_dim, self.n_heads, self.n_joints, name=f"spatial{i}"
+                )(y, train=train)
+            y = jnp.swapaxes(y, -3, -2)
+            for i in range(self.n_block // 2):
+                y = B2TBlock(
+                    self.head_dim, self.n_heads, self.seq_len, name=f"temporal{i}"
+                )(y, train=train)
+            y = jnp.swapaxes(y, -3, -2)
+
+        # pool over (T, V), mean over persons M, then 1x1 head
+        y = y.mean(axis=(2, 3))                              # (N, M, C)
+        y = y.mean(axis=1)                                   # (N, C)
+        return nn.Dense(self.num_classes, name="head")(y)
