@@ -1,0 +1,154 @@
+"""Command-line training/evaluation driver.
+
+Capability of the reference entrypoints (``main.py:41-50,253-357``,
+``main_cross_validation.py``, ``Multimodal_Fall3/main.py``):
+
+    python -m fall_multimodal_tpu.cli --config two_stgcan_bilstm_harup \
+        --set optim.lr=5e-4 --set train.epochs=50 --output-dir outputs/run1
+    python -m fall_multimodal_tpu.cli --config gstcan_urfall_3stream --cv
+
+Writes ``history.json`` (per-epoch curves), ``report.txt`` (classification
+report), ``cv_results.json`` (per-fold PRF table in CV mode) and orbax
+checkpoints (best + latest) under the output dir. Unlike the reference, the
+output dir is never wiped (``main.py:52-55`` rmtree'd it, breaking resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="fall_multimodal_tpu trainer")
+    p.add_argument("-c", "--config", required=True,
+                   help="preset name or YAML path")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted config override, e.g. optim.lr=5e-4")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--cv", action="store_true", help="k-fold cross-validation")
+    p.add_argument("--folds", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--data-path", default=None, help="dataset root (CSV dir or pickle)")
+    p.add_argument("--test-only", action="store_true")
+    p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--synthetic-windows", type=int, default=2048,
+                   help="synthetic dataset size when no --data-path")
+    return p.parse_args(argv)
+
+
+def load_cli_config(args):
+    from fall_multimodal_tpu.configs import load_config, preset_path
+
+    path = args.config
+    if not os.path.exists(path):
+        path = preset_path(args.config)
+    overrides = {}
+    for item in args.set:
+        key, _, value = item.partition("=")
+        overrides[key] = value
+    cfg = load_config(path, overrides)
+    if args.epochs:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "epochs": args.epochs}))
+    return cfg
+
+
+def main(argv=None) -> Dict:
+    args = parse_args(argv)
+    from fall_multimodal_tpu.configs import Config
+    from fall_multimodal_tpu.data import load_dataset, split_dataset, to_device
+    from fall_multimodal_tpu.models import build_model
+    from fall_multimodal_tpu.train import (
+        build_optimizer, classification_report, create_train_state, evaluate,
+        fit, make_eval_epoch, param_count,
+    )
+    from fall_multimodal_tpu.train.cv import cross_validate, run_fold
+    from fall_multimodal_tpu.utils import create_logger
+    from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+    cfg = load_cli_config(args)
+    out_dir = args.output_dir or os.path.join(
+        "outputs", f"{cfg.model.name}_{time.strftime('%Y%m%dT%H%M%S')}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    logger = create_logger(output_dir=out_dir, name="fall_multimodal_tpu.cli")
+    logger.info(f"config: {cfg.model.name} dataset={cfg.data.dataset}")
+
+    data = load_dataset(
+        cfg.data.dataset,
+        path=args.data_path or cfg.data.path,
+        seq_len=cfg.data.seq_len,
+        num_joints=cfg.data.num_joints,
+        num_classes=cfg.data.num_classes,
+        sensor_dim=cfg.data.sensor_dim,
+        seed=cfg.seed,
+        n_windows=args.synthetic_windows,
+    )
+    logger.info(f"dataset: {len(data)} windows, {data.num_classes} classes")
+
+    with open(os.path.join(out_dir, "config.json"), "w") as fh:
+        json.dump(cfg.to_dict(), fh, indent=2, default=str)
+
+    if args.cv:
+        results = cross_validate(
+            cfg, data, n_folds=args.folds, epochs=args.epochs,
+            logger=logger, checkpoint_dir=os.path.join(out_dir, "ckpt"),
+        )
+        with open(os.path.join(out_dir, "cv_results.json"), "w") as fh:
+            json.dump(results, fh, indent=2)
+        logger.info(f"CV summary: {results['summary']}")
+        return results
+
+    splits_np = split_dataset(
+        data, split=cfg.data.split, seed=cfg.seed, by_video=cfg.data.split_by_video
+    )
+    splits = {k: to_device(v) for k, v in splits_np.items()}
+    ckpt = Checkpointer(os.path.join(out_dir, "ckpt")) if cfg.save_checkpoint else None
+
+    if args.test_only:
+        model = build_model(cfg)
+        optimizer = build_optimizer(cfg)
+        state = create_train_state(
+            model, optimizer,
+            splits["train"].features[:2], splits["train"].sensors[:2], seed=cfg.seed,
+        )
+        src = Checkpointer(args.resume or os.path.join(out_dir, "ckpt"))
+        state, epoch, best = src.restore("best", state)
+        eval_epoch = make_eval_epoch(
+            model, data.num_classes,
+            label_smoothing=cfg.train.label_smoothing,
+            softmax_before_ce=cfg.model.softmax_output,
+        )
+        test = evaluate(eval_epoch, state, splits["test"], cfg.train.batch_size)
+        report = classification_report(test.confusion)
+        logger.info(f"test accuracy {test.accuracy:.5f}\n{report}")
+        with open(os.path.join(out_dir, "report.txt"), "w") as fh:
+            fh.write(report)
+        return {"test_accuracy": test.accuracy}
+
+    result = run_fold(cfg, splits, epochs=args.epochs, logger=logger, checkpointer=ckpt)
+    model = build_model(cfg)
+    logger.info(
+        f"best val accuracy {result.best_val_accuracy:.5f}; "
+        f"test accuracy {float(result.test.stats['accuracy']):.5f}"
+    )
+    report = classification_report(result.test.confusion)
+    logger.info("\n" + report)
+    with open(os.path.join(out_dir, "history.json"), "w") as fh:
+        json.dump(result.history, fh, indent=2)
+    with open(os.path.join(out_dir, "report.txt"), "w") as fh:
+        fh.write(report)
+    return {
+        "best_val_accuracy": result.best_val_accuracy,
+        "test_accuracy": float(result.test.stats["accuracy"]),
+    }
+
+
+if __name__ == "__main__":
+    main()

@@ -117,36 +117,39 @@ def load_csv_windows(
     return WindowedDataset(features=feats, labels=labs, videos=vids)
 
 
+# Canonical shapes per dataset name, used only when the caller doesn't say.
+_SHAPE_PRESETS = {
+    "harup": dict(num_classes=11, sensor_dim=15),
+    "urfall": dict(num_classes=2, sensor_dim=4),
+    "imvia": dict(num_classes=2, sensor_dim=0),
+    "fukinect": dict(num_classes=4, sensor_dim=0),
+}
+
+
 def load_dataset(
     dataset: str,
     path: Optional[str] = None,
     seq_len: int = 30,
     num_joints: int = 14,
-    num_classes: int = 11,
-    sensor_dim: int = 15,
+    num_classes: Optional[int] = None,
+    sensor_dim: Optional[int] = None,
     seed: int = 0,
     n_windows: int = 1024,
 ) -> WindowedDataset:
     """Uniform entry: real data when ``path`` is given, else synthetic with
-    the dataset's canonical shapes."""
-    shape_presets = {
-        "harup": dict(num_classes=11, sensor_dim=15),
-        "urfall": dict(num_classes=2, sensor_dim=4),
-        "imvia": dict(num_classes=2, sensor_dim=0),
-        "fukinect": dict(num_classes=4, sensor_dim=0),
-    }
+    the dataset's canonical shapes (explicit args always win)."""
     if path is not None:
         if os.path.isdir(path):
             return load_csv_windows(path, seq_len=seq_len)
         paths = [path] if isinstance(path, str) else list(path)
         return load_pickle_windows(paths)
-    preset = shape_presets.get(dataset, {})
+    preset = _SHAPE_PRESETS.get(dataset, {})
     return make_synthetic(
         n_windows=n_windows,
         seq_len=seq_len,
         num_joints=num_joints,
-        num_classes=preset.get("num_classes", num_classes),
-        sensor_dim=preset.get("sensor_dim", sensor_dim),
+        num_classes=num_classes if num_classes is not None else preset.get("num_classes", 11),
+        sensor_dim=sensor_dim if sensor_dim is not None else preset.get("sensor_dim", 15),
         seed=seed,
     )
 

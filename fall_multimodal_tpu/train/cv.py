@@ -1,0 +1,168 @@
+"""K-fold cross-validation and hyperparameter grid-search drivers.
+
+Capabilities of ``main_cross_validation.py:256-370`` (10-fold CV with
+per-fold macro PRF collected into a summary table) and
+``hyperparameter_tuning.py:442-471`` (cartesian grid over model kwargs,
+re-running the trainer per point, accumulating a CSV).
+
+TPU-native improvement over the reference: each fold gets its own
+checkpoint directory (the reference shared one ``best_model.pt`` across
+folds), and folds reuse one compiled train/eval program when their shapes
+agree (same batch size / steps) — recompilation cost is paid once, not per
+fold.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, Iterable, List, Mapping, Optional
+
+import numpy as np
+
+from fall_multimodal_tpu.configs import Config
+from fall_multimodal_tpu.data import kfold_datasets, to_device
+from fall_multimodal_tpu.data.synthetic import WindowedDataset
+from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.train.loop import fit
+from fall_multimodal_tpu.train.optim import build_optimizer
+from fall_multimodal_tpu.train.state import create_train_state
+
+
+def run_fold(
+    config: Config,
+    splits,
+    epochs: Optional[int] = None,
+    logger=None,
+    checkpointer=None,
+    fold_seed: int = 0,
+):
+    """Train one fold from scratch; returns the FitResult."""
+    model = build_model(config)
+    steps_per_epoch = max(1, splits["train"].n // config.train.batch_size)
+    optimizer = build_optimizer(
+        config.optim,
+        scheduler=config.lr_scheduler,
+        steps_per_epoch=steps_per_epoch,
+        max_norm=config.train.max_norm,
+    )
+    state = create_train_state(
+        model,
+        optimizer,
+        splits["train"].features[:2],
+        splits["train"].sensors[:2],
+        seed=config.seed + fold_seed,
+    )
+    return fit(
+        model,
+        optimizer,
+        state,
+        splits,
+        epochs=epochs or config.train.epochs,
+        batch_size=config.train.batch_size,
+        num_classes=splits["train"].labels.shape[-1],
+        label_smoothing=config.train.label_smoothing,
+        softmax_before_ce=config.model.softmax_output,
+        drop_last=config.train.drop_last,
+        shuffle_seed=config.seed + fold_seed,
+        logger=logger,
+        checkpointer=checkpointer,
+    )
+
+
+def cross_validate(
+    config: Config,
+    data: WindowedDataset,
+    n_folds: Optional[int] = None,
+    epochs: Optional[int] = None,
+    logger=None,
+    checkpoint_dir: Optional[str] = None,
+) -> Dict[str, Any]:
+    """K-fold CV over unique videos; per-fold test metrics + summary.
+
+    Returns {"folds": [per-fold dicts], "summary": {mean/std of
+    accuracy, macro P/R/F1}} — the reference's ``precision_recall_f1.csv``
+    capability as a structured dict.
+    """
+    n_folds = n_folds or config.data.n_folds
+    folds = kfold_datasets(
+        data, n_folds=n_folds, seed=config.seed, by_video=config.data.split_by_video
+    )
+    per_fold: List[Dict[str, float]] = []
+    for i, fold in enumerate(folds):
+        splits = {k: to_device(v) for k, v in fold.items()}
+        ckpt = None
+        if checkpoint_dir is not None:
+            from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+            ckpt = Checkpointer(f"{checkpoint_dir}/fold{i}")
+        result = run_fold(
+            config, splits, epochs=epochs, logger=logger,
+            checkpointer=ckpt, fold_seed=i,
+        )
+        test = result.test
+        row = {
+            "fold": i,
+            "val_accuracy": result.best_val_accuracy,
+            "test_accuracy": float(test.stats["accuracy"]),
+            "macro_precision": float(test.stats["macro_precision"]),
+            "macro_recall": float(test.stats["macro_recall"]),
+            "macro_f1": float(test.stats["macro_f1"]),
+            "micro_f1": float(test.stats["micro_f1"]),
+        }
+        per_fold.append(row)
+        if logger:
+            logger.info(
+                f"fold {i}: test acc {row['test_accuracy']:.4f} "
+                f"macro F1 {row['macro_f1']:.4f}"
+            )
+
+    metrics = [k for k in per_fold[0] if k != "fold"]
+    summary = {
+        f"{m}_{agg}": float(getattr(np, agg)([row[m] for row in per_fold]))
+        for m in metrics
+        for agg in ("mean", "std")
+    }
+    return {"folds": per_fold, "summary": summary}
+
+
+def grid_search(
+    config: Config,
+    data: WindowedDataset,
+    grid: Mapping[str, Iterable[Any]],
+    epochs: Optional[int] = None,
+    logger=None,
+) -> List[Dict[str, Any]]:
+    """Cartesian grid over model kwargs (e.g. embed_dim x n_stage x
+    act_type, ``hyperparameter_tuning.py:450-458``). Each point trains on a
+    fresh split and records val/test accuracy; returns rows sorted by
+    validation accuracy."""
+    from fall_multimodal_tpu.data import split_dataset
+
+    keys = list(grid)
+    rows: List[Dict[str, Any]] = []
+    for values in itertools.product(*(grid[k] for k in keys)):
+        point = dict(zip(keys, values))
+        kwargs = dict(config.model.kwargs)
+        kwargs.update(point)
+        cfg = config.replace(model=config.model.__class__(
+            name=config.model.name,
+            kwargs=kwargs,
+            softmax_output=config.model.softmax_output,
+            ca_before_residual=config.model.ca_before_residual,
+        ))
+        splits_np = split_dataset(
+            data, split=config.data.split, seed=cfg.seed,
+            by_video=config.data.split_by_video,
+        )
+        splits = {k: to_device(v) for k, v in splits_np.items()}
+        result = run_fold(cfg, splits, epochs=epochs, logger=logger)
+        row = {
+            **point,
+            "val_accuracy": result.best_val_accuracy,
+            "test_accuracy": float(result.test.stats["accuracy"]) if result.test else None,
+        }
+        rows.append(row)
+        if logger:
+            logger.info(f"grid point {point}: val {row['val_accuracy']:.4f}")
+    rows.sort(key=lambda r: -(r["val_accuracy"] or 0))
+    return rows

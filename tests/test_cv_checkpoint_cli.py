@@ -1,0 +1,131 @@
+"""CV driver, grid search, orbax checkpointing, and CLI smoke tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fall_multimodal_tpu.configs import load_config, preset_path
+from fall_multimodal_tpu.data import make_synthetic, split_dataset, to_device
+from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.train import build_optimizer, create_train_state
+from fall_multimodal_tpu.train.cv import cross_validate, grid_search, run_fold
+from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return make_synthetic(
+        n_windows=120, num_classes=3, sensor_dim=6, windows_per_video=8,
+        noise=0.05, seed=0,
+    )
+
+
+def _cfg(**over):
+    base = {"data.num_classes": 3, "data.n_folds": 3}
+    base.update(over)
+    return load_config(preset_path("bilstm"), overrides=base)
+
+
+def test_cross_validate_collects_per_fold_metrics(tiny_data):
+    cfg = _cfg()
+    results = cross_validate(cfg, tiny_data, n_folds=3, epochs=2)
+    assert len(results["folds"]) == 3
+    for row in results["folds"]:
+        assert 0.0 <= row["test_accuracy"] <= 1.0
+        assert "macro_f1" in row
+    assert "test_accuracy_mean" in results["summary"]
+    assert "macro_f1_std" in results["summary"]
+
+
+def test_grid_search_orders_by_val_accuracy(tiny_data):
+    cfg = _cfg()
+    rows = grid_search(cfg, tiny_data, {"hidden_size": [8, 16]}, epochs=2)
+    assert len(rows) == 2
+    assert {r["hidden_size"] for r in rows} == {8, 16}
+    accs = [r["val_accuracy"] for r in rows]
+    assert accs == sorted(accs, reverse=True)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_data):
+    cfg = _cfg()
+    splits = {
+        k: to_device(v)
+        for k, v in split_dataset(tiny_data, seed=1).items()
+    }
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, splits["train"].features[:2], splits["train"].sensors[:2]
+    )
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save_best(state, epoch=5, best_acc=0.75)
+    assert ckpt.has("best")
+    template = create_train_state(
+        model, optimizer, splits["train"].features[:2], splits["train"].sensors[:2],
+        seed=99,
+    )
+    restored, epoch, best = ckpt.restore("best", template)
+    assert epoch == 5 and best == pytest.approx(0.75)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fit_with_checkpointer_saves_best_and_latest(tmp_path, tiny_data):
+    cfg = _cfg()
+    splits = {
+        k: to_device(v) for k, v in split_dataset(tiny_data, seed=1).items()
+    }
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    run_fold(cfg, splits, epochs=2, checkpointer=ckpt)
+    assert ckpt.has("best")
+    assert ckpt.has("latest")
+
+
+def test_cli_end_to_end(tmp_path):
+    from fall_multimodal_tpu.cli import main
+
+    out = str(tmp_path / "run")
+    result = main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--epochs", "2",
+        "--output-dir", out,
+        "--synthetic-windows", "96",
+    ])
+    assert "test_accuracy" in result
+    assert os.path.exists(os.path.join(out, "history.json"))
+    assert os.path.exists(os.path.join(out, "report.txt"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+    hist = json.load(open(os.path.join(out, "history.json")))
+    assert len(hist["train_loss"]) == 2
+
+    # test-only path restores the saved best checkpoint
+    result2 = main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--output-dir", out,
+        "--synthetic-windows", "96",
+        "--test-only",
+    ])
+    assert "test_accuracy" in result2
+
+
+def test_cli_cv_mode(tmp_path):
+    from fall_multimodal_tpu.cli import main
+
+    out = str(tmp_path / "cv")
+    result = main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--epochs", "1",
+        "--folds", "2",
+        "--cv",
+        "--output-dir", out,
+        "--synthetic-windows", "64",
+    ])
+    assert len(result["folds"]) == 2
+    assert os.path.exists(os.path.join(out, "cv_results.json"))
