@@ -31,7 +31,11 @@ def create_train_state(
     seed: int = 42,
 ) -> TrainState:
     init_key, run_key = jax.random.split(jax.random.key(seed))
-    variables = model.init(init_key, sample_skeleton, sample_sensor, train=False)
+    # jit the init: eager linen init dispatches every parameter op
+    # individually (minutes over a remote-TPU tunnel); one compiled program
+    # takes seconds.
+    init_fn = jax.jit(lambda k, s, sn: model.init(k, s, sn, train=False))
+    variables = init_fn(init_key, sample_skeleton, sample_sensor)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
