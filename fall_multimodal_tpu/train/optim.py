@@ -100,10 +100,12 @@ def build_optimizer(
     scheduler: Optional[SchedulerConfig] = None,
     steps_per_epoch: int = 1,
     max_norm: Optional[float] = None,
+    accum_iter: int = 1,
 ) -> optax.GradientTransformation:
     if isinstance(cfg, Config):
         scheduler = cfg.lr_scheduler
         max_norm = cfg.train.max_norm
+        accum_iter = cfg.train.accum_iter
         cfg = cfg.optim
     lr = build_schedule(scheduler or SchedulerConfig(), cfg.lr, steps_per_epoch)
 
@@ -132,5 +134,11 @@ def build_optimizer(
         raise ValueError(f"Unknown optimizer type: {cfg.type!r}")
 
     if max_norm is not None and max_norm > 0:
-        return optax.chain(optax.clip_by_global_norm(max_norm), core)
+        core = optax.chain(optax.clip_by_global_norm(max_norm), core)
+    if accum_iter and accum_iter > 1:
+        # microbatch gradient accumulation (reference ACCUM_ITER,
+        # config.py:10 / main.py:118-132): k steps of gradient averaging
+        # per optimizer update, as a pure optax wrapper so the scanned
+        # train step is unchanged.
+        core = optax.MultiSteps(core, every_k_schedule=accum_iter)
     return core
