@@ -96,3 +96,39 @@ class ThreeStreamGSTCAN(nn.Module):
         )
         concat = jnp.concatenate([pts, mos, sen], axis=-1)
         return nn.Dense(self.num_classes)(concat)
+
+
+class TransformerEnsemble(nn.Module):
+    """Skeleton transformer (pts) + CNN_BiLSTM (sensor), concat per-stream
+    logits -> Linear (notebook ``GSTCAN_HAR_conv_kfold_trans.ipynb:3``
+    ``Ensemble``)."""
+
+    num_classes: int
+    n_joints: int = 14
+    seq_len: int = 30
+    embedding_dim: int = 32
+    n_block: int = 6
+    head_dim: int = 16
+    n_heads: int = 8
+
+    @nn.compact
+    def __call__(self, skeleton, sensor, train: bool = False):
+        from fall_multimodal_tpu.models.sensors import CnnBiLSTMHead
+        from fall_multimodal_tpu.models.skeleton_transformer import (
+            SkeletonTransformer,
+        )
+
+        out1 = SkeletonTransformer(
+            num_classes=self.num_classes,
+            n_joints=self.n_joints,
+            seq_len=self.seq_len,
+            embedding_dim=self.embedding_dim,
+            n_block=self.n_block,
+            head_dim=self.head_dim,
+            n_heads=self.n_heads,
+            name="skeleton_transformer",
+        )(skeleton, train=train)
+        out2 = CnnBiLSTMHead(num_classes=self.num_classes, name="signal_model")(
+            sensor, train=train
+        )
+        return nn.Dense(self.num_classes)(jnp.concatenate([out1, out2], axis=-1))

@@ -166,3 +166,15 @@ def _skeleton_transformer_fact(cfg: Config, kw):
         seq_len=cfg.data.seq_len,
         **kw,
     )
+
+
+@register("transformer_ensemble")
+def _transformer_ensemble(cfg: Config, kw):
+    from fall_multimodal_tpu.models.fusion import TransformerEnsemble
+
+    return TransformerEnsemble(
+        num_classes=cfg.data.num_classes,
+        n_joints=cfg.data.num_joints,
+        seq_len=cfg.data.seq_len,
+        **kw,
+    )

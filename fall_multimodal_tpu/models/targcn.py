@@ -127,11 +127,13 @@ class GraphGRUCell(nn.Module):
 
     hidden_dim: int
     static_adj: Optional[np.ndarray] = None
-    gcn_variant: str = "gated"  # gated | nogate | linear
+    gcn_variant: str = "gated"  # gated | nogate | linear | sa
 
     def _gcn(self, dim_out, name):
         if self.gcn_variant == "linear":
             return EmbGCNLinear(dim_out, name=name)
+        if self.gcn_variant == "sa":
+            return SpatialAttention(dim_out, static_adj=self.static_adj, name=name)
         return EmbGCN(
             dim_out,
             static_adj=self.static_adj,

@@ -251,3 +251,18 @@ def fit(
         history=history,
         test=test,
     )
+
+
+def k_copies_logits(model, variables, skeleton, sensor, num_copies: int = 2):
+    """Strided-segment inference average (``Multimodal_Fall3/main.py:150-161``):
+    split the window into ``num_copies`` contiguous temporal slices, run the
+    model on each, average the logits. T axis is axis 1 in our layout."""
+    stride = skeleton.shape[1] // num_copies
+    outs = [
+        model.apply(
+            variables, skeleton[:, j * stride : (j + 1) * stride], sensor,
+            train=False,
+        )
+        for j in range(num_copies)
+    ]
+    return jnp.stack(outs, axis=1).mean(axis=1)

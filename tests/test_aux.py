@@ -1,0 +1,123 @@
+"""Aux-subsystem tests: profiling/telemetry, k_copies eval, ensemble model,
+SA GRU variant, gradient accumulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from fall_multimodal_tpu.configs import load_config, preset_path
+from fall_multimodal_tpu.configs.config import OptimConfig
+from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.train.loop import k_copies_logits
+from fall_multimodal_tpu.train.optim import build_optimizer
+from fall_multimodal_tpu.utils.profiling import (
+    Throughput,
+    global_norm,
+    grad_norms,
+    model_summary,
+    nan_debug,
+)
+
+
+def test_grad_norm_telemetry(rng):
+    grads = {"a": {"w": jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))},
+             "b": jnp.asarray(rng.normal(size=5).astype(np.float32))}
+    norms = grad_norms(grads)
+    assert set(norms) == {"a.w", "b"}
+    assert float(norms["b"]) == pytest.approx(
+        float(jnp.linalg.norm(grads["b"])), rel=1e-6
+    )
+    g = float(global_norm(grads))
+    expect = np.sqrt(sum(np.sum(np.square(np.asarray(x)))
+                         for x in jax.tree.leaves(grads)))
+    assert g == pytest.approx(expect, rel=1e-6)
+
+
+def test_model_summary_counts():
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    model = build_model(cfg)
+    v = model.init(jax.random.key(0), jnp.ones((2, 30, 14, 3)), jnp.ones((2, 30, 15)),
+                   train=False)
+    text = model_summary(v["params"])
+    total = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert f"{total:,}" in text
+
+
+def test_throughput_counter():
+    t = Throughput(n_devices=2)
+    t.update(100)
+    t.update(100)
+    assert t.windows_per_sec > 0
+    # per-chip divides by device count (values are time-dependent between
+    # property reads, so compare the ratio loosely)
+    assert 0 < t.windows_per_sec_per_chip <= t.windows_per_sec
+    assert t.eta_seconds(10) >= 0
+
+
+def test_nan_debug_context():
+    with nan_debug(True):
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: x / 0.0 * 0.0)(jnp.float32(1.0))
+    assert not jax.config.jax_debug_nans
+
+
+def test_k_copies_matches_manual(rng):
+    cfg = load_config(
+        preset_path("musa_harup"),
+        overrides={"data.num_classes": 4,
+                   "model.kwargs": {"embed_dim": 8, "n_stage": 1}},
+    )
+    model = build_model(cfg)
+    skel = jnp.asarray(rng.normal(size=(2, 30, 14, 3)).astype(np.float32))
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   skel, None, train=False)
+    out = k_copies_logits(model, v, skel, None, num_copies=2)
+    manual = (
+        model.apply(v, skel[:, :15], None, train=False)
+        + model.apply(v, skel[:, 15:30], None, train=False)
+    ) / 2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual), atol=1e-6)
+
+
+def test_transformer_ensemble_forward():
+    cfg = load_config(
+        preset_path("skeleton_transformer_harup"),
+        overrides={"model.name": "transformer_ensemble", "data.num_classes": 5,
+                   "model.kwargs": {"embedding_dim": 16, "n_block": 2,
+                                    "head_dim": 4, "n_heads": 2}},
+    )
+    model = build_model(cfg)
+    skel = jnp.ones((2, 30, 14, 3))
+    sensor = jnp.ones((2, 30, 15))
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   skel, sensor, train=False)
+    assert model.apply(v, skel, sensor, train=False).shape == (2, 5)
+
+
+def test_sa_gru_variant():
+    from fall_multimodal_tpu.models.targcn import GraphGRUCell
+
+    cell = GraphGRUCell(8, gcn_variant="sa")
+    x = jnp.ones((2, 14, 3))
+    h = jnp.zeros((2, 14, 8))
+    emb = jnp.ones((14, 4))
+    v = cell.init(jax.random.key(0), x, h, emb)
+    assert cell.apply(v, x, h, emb).shape == (2, 14, 8)
+
+
+def test_gradient_accumulation_averages():
+    opt = build_optimizer(OptimConfig(type="sgd", lr=1.0), accum_iter=2)
+    params = {"w": jnp.zeros(3)}
+    state = opt.init(params)
+    g1 = {"w": jnp.ones(3)}
+    g2 = {"w": 3 * jnp.ones(3)}
+    up1, state = opt.update(g1, state, params)
+    params = optax.apply_updates(params, up1)
+    np.testing.assert_allclose(np.asarray(params["w"]), 0.0)  # not applied yet
+    up2, state = opt.update(g2, state, params)
+    params = optax.apply_updates(params, up2)
+    # mean grad = 2, lr 1 -> w = -2
+    np.testing.assert_allclose(np.asarray(params["w"]), -2.0, atol=1e-6)
