@@ -75,8 +75,17 @@ def load_csv_windows(
     rescale_pose: bool = True,
     center_joint: bool = True,
 ) -> WindowedDataset:
-    """Gen-3 CSV-direct loader (requires pandas; host-side, runs once)."""
+    """Gen-3 CSV-direct loader (host-side, runs once).
+
+    Window slicing — the one genuinely hot host loop (the reference's
+    python/pandas per-video loop, ``Multimodal_Fall3/dataloader.py:51-56``) —
+    goes through the native C++ slicer (``data/native.py``; numpy fallback
+    with identical semantics): one pass over the concatenated frame table,
+    windows that cross a video boundary or contain NaN rejected.
+    """
     import pandas as pd
+
+    from fall_multimodal_tpu.data.native import slice_windows, window_mean_labels
 
     csv_paths = sorted(
         os.path.join(root, f)
@@ -90,31 +99,26 @@ def load_csv_windows(
     label_onehot = pd.get_dummies(df["label"])
     classes = list(label_onehot.columns)
     df = pd.concat([df.drop(["label"], axis=1), label_onehot], axis=1)
+    # rows of one video must be contiguous for the single-pass slicer
+    df = df.sort_values(["video", "frame"], kind="stable").reset_index(drop=True)
 
-    all_feats, all_labs, all_vids = [], [], []
-    for video_name in np.unique(df["video"]):
-        vdf = df[df["video"] == video_name]
-        skel = vdf.drop(["video", "frame"] + classes, axis=1).to_numpy(np.float32)
-        labs = vdf[classes].to_numpy(np.float32)
-        # stride-1 windows; drop any window containing NaN
-        f_windows = sliding_windows(skel, seq_len, drop_last=False)
-        l_windows = sliding_windows(labs, seq_len, drop_last=False)
-        keep = ~np.isnan(f_windows).any(axis=(1, 2))
-        f_windows = f_windows[keep].reshape(-1, seq_len, skel.shape[1] // 3, 3)
-        l_means = l_windows[keep].mean(axis=1)
-        all_feats.append(f_windows)
-        all_labs.append(l_means)
-        all_vids.append(np.repeat(video_name, len(f_windows)))
+    video_names, video_codes = np.unique(df["video"].to_numpy(), return_inverse=True)
+    skel = df.drop(["video", "frame"] + classes, axis=1).to_numpy(np.float32)
+    labs = df[classes].to_numpy(np.float32)
 
-    feats = np.concatenate(all_feats)
-    labs = np.concatenate(all_labs)
-    vids = np.concatenate(all_vids)
+    windows, starts = slice_windows(
+        skel, video_codes.astype(np.int64), seq_len, include_last=True
+    )
+    l_means = window_mean_labels(labs, starts, seq_len)
+    vids = video_names[video_codes[starts]]
+    feats = windows.reshape(-1, seq_len, skel.shape[1] // 3, 3)
+
     if rescale_pose:
         feats = feats.copy()
         feats[..., :2] = scale_pose(feats[..., :2])
     if center_joint:
         feats = add_center_joint(feats)
-    return WindowedDataset(features=feats, labels=labs, videos=vids)
+    return WindowedDataset(features=feats, labels=l_means, videos=vids)
 
 
 # Canonical shapes per dataset name, used only when the caller doesn't say.
