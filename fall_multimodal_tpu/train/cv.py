@@ -52,6 +52,9 @@ def run_fold(
         splits["train"].sensors[:2],
         seed=config.seed + fold_seed,
     )
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if config.train.dtype == "bfloat16" else None
     return fit(
         model,
         optimizer,
@@ -66,6 +69,7 @@ def run_fold(
         shuffle_seed=config.seed + fold_seed,
         logger=logger,
         checkpointer=checkpointer,
+        compute_dtype=compute_dtype,
     )
 
 

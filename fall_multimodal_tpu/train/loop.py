@@ -42,25 +42,45 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     label_smoothing: float = 0.0,
     softmax_before_ce: bool = False,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> Callable[[TrainState, DeviceData], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """One optimizer step: forward (train-mode BN + dropout), loss, grads,
-    update. Returns (new_state, {loss, accuracy})."""
+    update. Returns (new_state, {loss, accuracy}).
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: master params and
+    optimizer state stay float32, activations/weights are cast to bf16 for
+    forward+backward (the cast is differentiable, so gradients come back in
+    float32), and the loss is computed in float32. No loss scaler is needed
+    on TPU (bf16 shares float32's exponent range — SURVEY.md section 2.5).
+
+    Measured caveat (v5e, flagship 3-stream, batch 512): full-bf16 is ~18x
+    SLOWER than f32 here — the V=14 joint axis pads from 8- to 16-row
+    sublane tiles and the tiny convolutions fall off XLA's fast paths, while
+    f32 already gets bf16 MXU passes via the default matmul precision. Keep
+    the default (None = f32 storage) unless shapes change materially.
+    """
 
     def step(state: TrainState, batch: DeviceData):
         step_key = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+            if compute_dtype is not None:
+                p = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+                feats = batch.features.astype(compute_dtype)
+                sens = batch.sensors.astype(compute_dtype)
+            else:
+                p, feats, sens = params, batch.features, batch.sensors
+            variables = {"params": p, "batch_stats": state.batch_stats}
             out, mutated = model.apply(
                 variables,
-                batch.features,
-                batch.sensors,
+                feats,
+                sens,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": step_key},
             )
             loss = cross_entropy(
-                out,
+                out.astype(jnp.float32),
                 batch.labels,
                 label_smoothing=label_smoothing,
                 softmax_before_ce=softmax_before_ce,
@@ -70,6 +90,13 @@ def make_train_step(
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if compute_dtype is not None:
+            # keep running-stat dtypes invariant (scan carry requirement)
+            new_stats = jax.tree.map(
+                lambda new, old: new.astype(old.dtype),
+                new_stats,
+                state.batch_stats,
+            )
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -90,9 +117,12 @@ def make_train_step(
     return step
 
 
-def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=False):
+def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=False,
+                     compute_dtype=None):
     """Jitted whole-epoch function: (state, data, batch_idx) -> (state, metrics)."""
-    train_step = make_train_step(model, optimizer, label_smoothing, softmax_before_ce)
+    train_step = make_train_step(
+        model, optimizer, label_smoothing, softmax_before_ce, compute_dtype
+    )
 
     @jax.jit
     def epoch(state: TrainState, data: DeviceData, batch_idx: jnp.ndarray):
@@ -196,6 +226,7 @@ def fit(
     logger=None,
     log_every: int = 10,
     checkpointer=None,
+    compute_dtype=None,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -203,7 +234,9 @@ def fit(
     tracking on validation accuracy, resumable state, final reload-best-then
     -test. Host work per epoch is one shuffle-key fold and a few scalars.
     """
-    train_epoch = make_train_epoch(model, optimizer, label_smoothing, softmax_before_ce)
+    train_epoch = make_train_epoch(
+        model, optimizer, label_smoothing, softmax_before_ce, compute_dtype
+    )
     eval_epoch = make_eval_epoch(model, num_classes, label_smoothing, softmax_before_ce)
 
     shuffle_key = jax.random.key(shuffle_seed)
