@@ -32,6 +32,8 @@ def parse_args(argv=None):
                    help="dotted config override, e.g. optim.lr=5e-4")
     p.add_argument("--output-dir", default=None)
     p.add_argument("--cv", action="store_true", help="k-fold cross-validation")
+    p.add_argument("--cv-vmapped", action="store_true",
+                   help="k-fold CV with all folds trained in one vmapped program")
     p.add_argument("--folds", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--data-path", default=None, help="dataset root (CSV dir or pickle)")
@@ -95,11 +97,18 @@ def main(argv=None) -> Dict:
     with open(os.path.join(out_dir, "config.json"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=2, default=str)
 
-    if args.cv:
-        results = cross_validate(
-            cfg, data, n_folds=args.folds, epochs=args.epochs,
-            logger=logger, checkpoint_dir=os.path.join(out_dir, "ckpt"),
-        )
+    if args.cv or args.cv_vmapped:
+        if args.cv_vmapped:
+            from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
+
+            results = cross_validate_vmapped(
+                cfg, data, n_folds=args.folds, epochs=args.epochs, logger=logger,
+            )
+        else:
+            results = cross_validate(
+                cfg, data, n_folds=args.folds, epochs=args.epochs,
+                logger=logger, checkpoint_dir=os.path.join(out_dir, "ckpt"),
+            )
         with open(os.path.join(out_dir, "cv_results.json"), "w") as fh:
             json.dump(results, fh, indent=2)
         logger.info(f"CV summary: {results['summary']}")

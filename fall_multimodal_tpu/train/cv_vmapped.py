@@ -1,0 +1,191 @@
+"""Fold-parallel cross-validation: train all K folds simultaneously.
+
+A genuinely TPU-native capability the reference cannot express
+(SURVEY.md section 7.6): the dataset lives ONCE in HBM; each fold is just an
+index set; K model replicas train as a ``vmap`` over the fold axis, so one
+jitted program advances every fold per epoch and small per-fold matmuls
+batch into K-times-larger ones. Per-fold BatchNorm statistics, dropout keys,
+optimizer state, and best-state tracking all carry the fold axis.
+
+Shape constraint: the scanned epoch needs a common (steps, batch) index
+matrix across folds, so steps = min_fold_train_size // batch — larger folds
+subsample a fresh random subset each epoch (full coverage over epochs);
+deviation from sequential CV is the per-epoch step count only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fall_multimodal_tpu.configs import Config
+from fall_multimodal_tpu.data import kfold_indices, to_device
+from fall_multimodal_tpu.data.pipeline import DeviceData, gather_batch
+from fall_multimodal_tpu.data.synthetic import WindowedDataset
+from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.train.loop import cross_entropy_per_sample, make_train_step
+from fall_multimodal_tpu.train.metrics import prf_from_confusion
+from fall_multimodal_tpu.train.optim import build_optimizer
+from fall_multimodal_tpu.train.state import TrainState, create_train_state
+
+
+def _stack_states(states: List[TrainState]) -> TrainState:
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *states)
+
+
+def cross_validate_vmapped(
+    config: Config,
+    data: WindowedDataset,
+    n_folds: Optional[int] = None,
+    epochs: Optional[int] = None,
+    logger=None,
+) -> Dict[str, Any]:
+    """K-fold CV with all folds training in one vmapped program.
+
+    Returns the same structure as ``cv.cross_validate``.
+    """
+    n_folds = n_folds or config.data.n_folds
+    epochs = epochs or config.train.epochs
+    batch = config.train.batch_size
+    num_classes = data.num_classes
+
+    folds = kfold_indices(
+        data.videos, n_folds=n_folds, seed=config.seed,
+        by_video=config.data.split_by_video,
+    )
+    dev = to_device(data)                     # ONE copy of the full dataset
+
+    model = build_model(config)
+    steps = max(1, min(len(f["train"]) for f in folds) // batch)
+    optimizer = build_optimizer(
+        config.optim,
+        scheduler=config.lr_scheduler,
+        steps_per_epoch=steps,
+        max_norm=config.train.max_norm,
+        accum_iter=config.train.accum_iter,
+    )
+    states = _stack_states([
+        create_train_state(
+            model, optimizer, dev.features[:2], dev.sensors[:2],
+            seed=config.seed + k,
+        )
+        for k in range(n_folds)
+    ])
+
+    train_step = make_train_step(
+        model, optimizer,
+        label_smoothing=config.train.label_smoothing,
+        softmax_before_ce=config.model.softmax_output,
+    )
+
+    def fold_epoch(state: TrainState, data_: DeviceData, idx: jnp.ndarray):
+        def body(st, i):
+            return train_step(st, gather_batch(data_, i))
+
+        state, metrics = jax.lax.scan(body, state, idx)
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    epoch_vm = jax.jit(jax.vmap(fold_epoch, in_axes=(0, None, 0)))
+
+    def fold_eval(state: TrainState, data_: DeviceData, idx, mask):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(carry, inp):
+            cm, loss_sum = carry
+            i, m = inp
+            b = gather_batch(data_, i)
+            logits = model.apply(variables, b.features, b.sensors, train=False)
+            tgt = jnp.argmax(b.labels, -1)
+            pred = jnp.argmax(logits, -1)
+            counts = (
+                jax.nn.one_hot(tgt * num_classes + pred, num_classes * num_classes)
+                * m[:, None]
+            )
+            cm = cm + counts.sum(0).reshape(num_classes, num_classes)
+            loss_sum = loss_sum + (
+                cross_entropy_per_sample(
+                    logits, b.labels,
+                    config.train.label_smoothing, config.model.softmax_output,
+                ) * m
+            ).sum()
+            return (cm, loss_sum), None
+
+        init = (jnp.zeros((num_classes, num_classes)), jnp.zeros(()))
+        (cm, loss_sum), _ = jax.lax.scan(body, init, (idx, mask))
+        return cm, loss_sum
+
+    eval_vm = jax.jit(jax.vmap(fold_eval, in_axes=(0, None, 0, 0)))
+
+    # per-fold padded eval index/mask matrices with a common step count
+    eval_steps = max(-(-len(f["test"]) // batch) for f in folds)
+    eval_idx = np.zeros((n_folds, eval_steps, batch), np.int32)
+    eval_mask = np.zeros((n_folds, eval_steps, batch), np.float32)
+    for k, f in enumerate(folds):
+        t = f["test"]
+        flat = np.minimum(np.arange(eval_steps * batch), len(t) - 1)
+        eval_idx[k] = t[flat].reshape(eval_steps, batch)
+        eval_mask[k] = (np.arange(eval_steps * batch) < len(t)).reshape(
+            eval_steps, batch
+        )
+    eval_idx = jnp.asarray(eval_idx)
+    eval_mask = jnp.asarray(eval_mask)
+
+    rng = np.random.default_rng(config.seed)
+    best_acc = np.full(n_folds, -1.0)
+    best_states = states
+
+    for epoch_i in range(1, epochs + 1):
+        idx = np.zeros((n_folds, steps, batch), np.int32)
+        for k, f in enumerate(folds):
+            perm = rng.permutation(f["train"])
+            need = steps * batch
+            if need > len(perm):  # wraparound for the smallest folds
+                perm = np.concatenate([perm, perm[: need - len(perm)]])
+            idx[k] = perm[:need].reshape(steps, batch)
+        states, tm = epoch_vm(states, dev, jnp.asarray(idx))
+
+        cms, _ = eval_vm(states, dev, eval_idx, eval_mask)
+        accs = np.asarray(
+            jnp.stack([prf_from_confusion(cms[k])["accuracy"] for k in range(n_folds)])
+        )
+        improved = accs > best_acc
+        if improved.any():
+            gate = jnp.asarray(improved)
+            best_states = jax.tree.map(
+                lambda new, old: jnp.where(
+                    gate.reshape((n_folds,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                states,
+                best_states,
+            )
+            best_acc = np.maximum(best_acc, accs)
+        if logger and epoch_i % 10 == 0:
+            logger.info(
+                f"[vmapped CV] epoch {epoch_i}/{epochs} "
+                f"mean val acc {accs.mean():.4f} (best {best_acc.mean():.4f})"
+            )
+
+    # final per-fold test metrics from the best states
+    cms, loss_sums = eval_vm(best_states, dev, eval_idx, eval_mask)
+    per_fold = []
+    for k, f in enumerate(folds):
+        stats = {kk: np.asarray(vv) for kk, vv in prf_from_confusion(cms[k]).items()}
+        per_fold.append({
+            "fold": k,
+            "val_accuracy": float(best_acc[k]),
+            "test_accuracy": float(stats["accuracy"]),
+            "macro_precision": float(stats["macro_precision"]),
+            "macro_recall": float(stats["macro_recall"]),
+            "macro_f1": float(stats["macro_f1"]),
+            "micro_f1": float(stats["micro_f1"]),
+        })
+    metrics = [k for k in per_fold[0] if k != "fold"]
+    summary = {
+        f"{m}_{agg}": float(getattr(np, agg)([row[m] for row in per_fold]))
+        for m in metrics
+        for agg in ("mean", "std")
+    }
+    return {"folds": per_fold, "summary": summary}

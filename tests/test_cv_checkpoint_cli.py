@@ -129,3 +129,19 @@ def test_cli_cv_mode(tmp_path):
     ])
     assert len(result["folds"]) == 2
     assert os.path.exists(os.path.join(out, "cv_results.json"))
+
+
+def test_vmapped_cv_matches_sequential_quality(tiny_data):
+    """All-folds-at-once vmapped CV must produce the same result structure
+    and learn comparably to the sequential driver."""
+    from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
+
+    cfg = _cfg()
+    results = cross_validate_vmapped(cfg, tiny_data, n_folds=3, epochs=4)
+    assert len(results["folds"]) == 3
+    for row in results["folds"]:
+        assert 0.0 <= row["test_accuracy"] <= 1.0
+        assert 0.0 <= row["macro_f1"] <= 1.0
+    assert "test_accuracy_mean" in results["summary"]
+    # synthetic data is separable: parallel folds must actually learn
+    assert results["summary"]["test_accuracy_mean"] > 0.5
