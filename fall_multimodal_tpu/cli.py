@@ -41,6 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--synthetic-windows", type=int, default=2048,
                    help="synthetic dataset size when no --data-path")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write per-epoch scalars via torch.utils.tensorboard")
     return p.parse_args(argv)
 
 
@@ -141,7 +143,19 @@ def main(argv=None) -> Dict:
             fh.write(report)
         return {"test_accuracy": test.accuracy}
 
-    result = run_fold(cfg, splits, epochs=args.epochs, logger=logger, checkpointer=ckpt)
+    metrics_callback = None
+    if args.tensorboard:
+        # capability of the reference's SummaryWriter scalars (main.py:146-148)
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir=out_dir)
+
+        def metrics_callback(epoch, scalars):
+            for name, value in scalars.items():
+                writer.add_scalar(name, value, epoch)
+
+    result = run_fold(cfg, splits, epochs=args.epochs, logger=logger,
+                      checkpointer=ckpt, metrics_callback=metrics_callback)
     model = build_model(cfg)
     logger.info(
         f"best val accuracy {result.best_val_accuracy:.5f}; "

@@ -60,8 +60,10 @@ class ModelConfig:
     # Notebook-canonical GSTCAN applies F.softmax before CE (SURVEY.md 3.4);
     # reproduce-or-not is a config switch for accuracy parity.
     softmax_output: bool = False
-    # Package st_gcan adds channel attention before the residual add is the
-    # notebook variant; the packaged Gen-2 applies CA after TCN then +res.
+    # Retained for config compatibility: the packaged Gen-2 st_gcan and the
+    # notebook st_gcn express the same math (CA on the TCN output, then the
+    # residual add — Model/stgcan.py:138-144 vs GSTCAN_UR_conv.ipynb:1), so
+    # there is exactly one block semantics and this flag is a no-op.
     ca_before_residual: bool = True
 
 

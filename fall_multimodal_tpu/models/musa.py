@@ -320,6 +320,7 @@ class MusaModel(nn.Module):
     edge: bool = True
     bias: bool = True
     with_tail: bool = True
+    embed_norm: bool = False
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -332,6 +333,14 @@ class MusaModel(nn.Module):
 
         res_pos = pts.mean(axis=(1, 2))                  # (N, C) raw residual
 
+        if self.embed_norm:
+            # reference ``norm_data``: BN over flattened (V, C) features
+            # before the 1x1 embed (``musa_model.py:370-382``; the shipped
+            # Model uses norm=False, kept as the default here)
+            n_, t_, v_, c_ = pts.shape
+            pts = BatchNorm(name="norm_pos")(
+                pts.reshape(n_, t_, v_ * c_), train=train
+            ).reshape(n_, t_, v_, c_)
         embed_p = nn.Dense(self.embed_dim, use_bias=self.bias, name="joint_embed_pos")
         embed_m = nn.Dense(self.embed_dim, use_bias=self.bias, name="joint_embed_mot")
         p = nn.relu(embed_p(pts))

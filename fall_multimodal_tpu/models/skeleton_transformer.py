@@ -154,6 +154,36 @@ class B2TSpatialTemporalBlock(nn.Module):
         return norm("norm3", out)
 
 
+class PreNormBlock(nn.Module):
+    """Pre-norm spatial+temporal block (``skeleton_transformer.py:159-200``):
+    LayerNorm before each of spatial MHSA / temporal MHSA / FFN, plain
+    residuals, trailing LayerNorm applied to the FFN branch output (the
+    reference normalizes ``out`` — the branch — not the residual sum)."""
+
+    head_dim: int
+    n_heads: int
+    n_joints: int
+    seq_len: int
+    ffn_expand: float = 4.0
+    ffn_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spatial = RelPosMHSA(self.head_dim, self.n_heads, self.n_joints,
+                             name="spatial_attn")
+        temporal = RelPosMHSA(self.head_dim, self.n_heads, self.seq_len,
+                              name="temporal_attn")
+        x = x + spatial(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
+        x_t = jnp.swapaxes(x, -3, -2)
+        x_t = nn.LayerNorm(epsilon=1e-5, name="norm2")(x_t)
+        x = x + jnp.swapaxes(temporal(x_t), -3, -2)
+        out = FFN(self.ffn_expand, self.ffn_dropout, name="ffn")(
+            nn.LayerNorm(epsilon=1e-5, name="norm3")(x), train
+        )
+        x = x + out
+        return nn.LayerNorm(epsilon=1e-5, name="norm4")(out)
+
+
 class B2TBlock(nn.Module):
     """Single-axis B2T block (``skeleton_transformer.py:291-320``): MHSA over
     the second-to-last axis + FFN, B2T residual, LayerNorm."""

@@ -35,6 +35,7 @@ def run_fold(
     logger=None,
     checkpointer=None,
     fold_seed: int = 0,
+    metrics_callback=None,
 ):
     """Train one fold from scratch; returns the FitResult."""
     model = build_model(config)
@@ -70,6 +71,7 @@ def run_fold(
         logger=logger,
         checkpointer=checkpointer,
         compute_dtype=compute_dtype,
+        metrics_callback=metrics_callback,
     )
 
 

@@ -227,6 +227,7 @@ def fit(
     log_every: int = 10,
     checkpointer=None,
     compute_dtype=None,
+    metrics_callback=None,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -265,6 +266,13 @@ def fit(
             if checkpointer is not None:
                 checkpointer.save_best(state, epoch_i, best_acc)
 
+        if metrics_callback is not None:
+            metrics_callback(epoch_i, {
+                "train_loss": float(tm["loss"]),
+                "train_accuracy": float(tm["accuracy"]),
+                "val_loss": val.loss,
+                "val_accuracy": val.accuracy,
+            })
         if logger and (epoch_i % log_every == 0 or epoch_i == epochs):
             logger.info(
                 f"epoch {epoch_i}/{epochs} "

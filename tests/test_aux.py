@@ -121,3 +121,43 @@ def test_gradient_accumulation_averages():
     params = optax.apply_updates(params, up2)
     # mean grad = 2, lr 1 -> w = -2
     np.testing.assert_allclose(np.asarray(params["w"]), -2.0, atol=1e-6)
+
+
+def test_dropblock_ske_zeroes_joints_and_rescales(rng):
+    from fall_multimodal_tpu.models.musa import DropBlockSke
+    from fall_multimodal_tpu.graphs import build_adjacency
+
+    x = jnp.asarray(np.abs(rng.normal(size=(8, 30, 14, 16))).astype(np.float32)) + 1.0
+    A = jnp.asarray(build_adjacency("coco_cut", "uniform"), jnp.float32)
+    mod = DropBlockSke()
+    v = mod.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 x, 0.5, A, True)
+    out = mod.apply(v, x, 0.5, A, True, rngs={"dropout": jax.random.key(7)})
+    out = np.asarray(out)
+    # eval mode / keep_prob 1 are identity
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(v, x, 0.5, A, False)), np.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(v, x, 1.0, A, True, rngs={"dropout": jax.random.key(7)})),
+        np.asarray(x))
+    # some (sample, joint) columns fully zeroed, survivors rescaled up
+    col_zero = (out == 0).all(axis=(1, 3))
+    assert col_zero.any()
+    survivors = out[out != 0]
+    originals = np.asarray(x)[out != 0]
+    assert float(np.min(survivors / originals)) > 1.0  # rescale factor > 1
+
+
+def test_dropblock_t_zeroes_frames(rng):
+    from fall_multimodal_tpu.models.musa import DropBlockT
+
+    x = jnp.asarray(np.abs(rng.normal(size=(4, 30, 14, 8))).astype(np.float32)) + 1.0
+    mod = DropBlockT(block_size=7)
+    v = mod.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 x, 0.5, True)
+    out = np.asarray(
+        mod.apply(v, x, 0.5, True, rngs={"dropout": jax.random.key(3)})
+    )
+    frame_zero = (out == 0).all(axis=(2, 3))
+    assert frame_zero.any()
+    np.testing.assert_allclose(np.asarray(mod.apply(v, x, 0.5, False)), np.asarray(x))
