@@ -76,3 +76,25 @@ def test_samples_per_program_divisibility(rng):
         samples_per_program=4, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_backbone_matches_flax(rng):
+    """Full folded backbone (XLA twins + interpret-mode Pallas for deep
+    blocks) reproduces the flax eval forward."""
+    from fall_multimodal_tpu.models.stgcan import STGCANBackbone
+    from fall_multimodal_tpu.ops.pallas.fused_backbone import FusedBackbone
+
+    stages = ((16, 1, False), (16, 1, True), (32, 2, True))
+    backbone = STGCANBackbone(stages=stages, num_classes=5)
+    x = jnp.asarray(rng.normal(size=(4, 30, 14, 3)).astype(np.float32))
+    variables = backbone.init(jax.random.key(0), x, train=True)
+    ref = np.asarray(backbone.apply(variables, x, train=False))
+
+    fused = FusedBackbone(backbone, variables, use_pallas=True,
+                          min_pallas_channels=32, interpret=True)
+    ours = np.asarray(fused(x))
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+    # XLA-only path must agree too
+    fused_xla = FusedBackbone(backbone, variables, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fused_xla(x)), ref, atol=3e-5)
