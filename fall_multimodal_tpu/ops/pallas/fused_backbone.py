@@ -2,9 +2,15 @@
 
 Folds every block of a trained ``models.stgcan.STGCANBackbone`` (data BN,
 7 blocks with edge importance, classifier head) into inference constants and
-runs the deep blocks through the fused Pallas kernel where it beats XLA
-(``bench_kernels.py`` support matrix), XLA elsewhere. Produces identical
-logits to ``backbone.apply(..., train=False)``.
+runs the deep blocks through the fused Pallas kernel where supported, an XLA
+twin of the folded math elsewhere. Produces identical logits to
+``backbone.apply(..., train=False)``.
+
+Measured verdict (v5e, batch 1024, full 7-block backbone): the plain jitted
+flax forward serves at 68.5k windows/s; this folded path reaches 17.4k
+(Pallas deep blocks) / 12.1k (XLA twins) — XLA's native convolution pipeline
+wins at these shapes, so the recommended serving path is the flax forward
+and this executor is kept as the measured baseline for future kernel work.
 """
 
 from __future__ import annotations
