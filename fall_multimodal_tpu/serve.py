@@ -1,0 +1,183 @@
+"""Serving layer: checkpoint -> compiled predictor -> streaming classifier.
+
+The reference has no inference/serving surface at all (SURVEY.md section 1,
+L5 note) — this layer is new capability designed for production deployment:
+
+* :class:`Predictor` — loads a trained checkpoint, jits a fixed-batch
+  forward (ragged requests padded + masked), returns probabilities /
+  classes; optional k-copies strided averaging; AOT-exportable;
+* :func:`export_stablehlo` — serialize the forward with ``jax.export`` to
+  portable StableHLO bytes (deployable without Python model code);
+* :class:`StreamingClassifier` — online sliding-window inference over a
+  live pose/sensor stream: push frames, get a class decision per step once
+  the window fills, mirroring the offline stride-1 window semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fall_multimodal_tpu.configs import Config
+from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.train.loop import k_copies_logits
+from fall_multimodal_tpu.train.state import TrainState
+
+
+class Predictor:
+    """Fixed-batch compiled predictor around a trained model.
+
+    ``batch_size`` is the compiled shape; smaller requests are padded and
+    masked, larger ones chunked. One compilation per distinct batch size.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        variables: Dict[str, Any],
+        batch_size: int = 128,
+        num_copies: int = 1,
+    ):
+        self.config = config
+        self.model = build_model(config)
+        self.variables = variables
+        self.batch_size = batch_size
+        self.num_copies = num_copies
+
+        def forward(variables, skeleton, sensor):
+            if num_copies > 1:
+                return k_copies_logits(
+                    self.model, variables, skeleton, sensor, num_copies
+                )
+            return self.model.apply(variables, skeleton, sensor, train=False)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        config: Config,
+        checkpoint_dir: str,
+        sample_skeleton: np.ndarray,
+        sample_sensor: np.ndarray,
+        which: str = "best",
+        **kwargs,
+    ) -> "Predictor":
+        from fall_multimodal_tpu.train.optim import build_optimizer
+        from fall_multimodal_tpu.train.state import create_train_state
+        from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+        model = build_model(config)
+        optimizer = build_optimizer(config)
+        template = create_train_state(
+            model,
+            optimizer,
+            jnp.asarray(sample_skeleton[:2]),
+            jnp.asarray(sample_sensor[:2]),
+            seed=config.seed,
+        )
+        state, _, _ = Checkpointer(checkpoint_dir).restore(which, template)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return cls(config, variables, **kwargs)
+
+    def predict_logits(
+        self, skeleton: np.ndarray, sensor: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        n = len(skeleton)
+        if sensor is None:
+            sensor = np.zeros((n, 1, 1), np.float32)
+        outs = []
+        for start in range(0, n, self.batch_size):
+            sk = np.asarray(skeleton[start : start + self.batch_size], np.float32)
+            se = np.asarray(sensor[start : start + self.batch_size], np.float32)
+            pad = self.batch_size - len(sk)
+            if pad:
+                sk = np.concatenate([sk, np.repeat(sk[-1:], pad, axis=0)])
+                se = np.concatenate([se, np.repeat(se[-1:], pad, axis=0)])
+            logits = self._forward(self.variables, jnp.asarray(sk), jnp.asarray(se))
+            outs.append(np.asarray(logits)[: self.batch_size - pad])
+        return np.concatenate(outs)
+
+    def predict_proba(self, skeleton, sensor=None) -> np.ndarray:
+        return np.asarray(jax.nn.softmax(jnp.asarray(self.predict_logits(skeleton, sensor)), -1))
+
+    def predict(self, skeleton, sensor=None) -> np.ndarray:
+        return self.predict_logits(skeleton, sensor).argmax(-1)
+
+
+def export_stablehlo(
+    config: Config,
+    variables: Dict[str, Any],
+    skeleton_shape: Tuple[int, ...],
+    sensor_shape: Tuple[int, ...],
+) -> bytes:
+    """Serialize the eval forward to portable StableHLO bytes via
+    ``jax.export`` (deployable from any PJRT runtime without model code)."""
+    from jax import export as jax_export
+
+    model = build_model(config)
+
+    def forward(variables, skeleton, sensor):
+        return model.apply(variables, skeleton, sensor, train=False)
+
+    exported = jax_export.export(jax.jit(forward))(
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables),
+        jax.ShapeDtypeStruct(skeleton_shape, jnp.float32),
+        jax.ShapeDtypeStruct(sensor_shape, jnp.float32),
+    )
+    return exported.serialize()
+
+
+def load_stablehlo(blob: bytes):
+    """Deserialize an exported forward; returns a callable
+    (variables, skeleton, sensor) -> logits."""
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(blob)
+    return exported.call
+
+
+class StreamingClassifier:
+    """Online sliding-window classifier over a live frame stream.
+
+    Push one frame (pose (V, C) [+ sensor (S,)]) at a time; once ``seq_len``
+    frames accumulate, every push classifies the trailing window — the
+    online equivalent of the offline stride-1 windowing. ``smooth`` > 1
+    majority-votes over the last k decisions (cheap temporal smoothing for
+    alarm stability).
+    """
+
+    def __init__(self, predictor: Predictor, seq_len: int = 30, smooth: int = 1):
+        self.predictor = predictor
+        self.seq_len = seq_len
+        self.smooth = max(1, smooth)
+        self._pose: list = []
+        self._sensor: list = []
+        self._votes: list = []
+
+    def reset(self) -> None:
+        self._pose.clear()
+        self._sensor.clear()
+        self._votes.clear()
+
+    def push(
+        self, pose_frame: np.ndarray, sensor_frame: Optional[np.ndarray] = None
+    ) -> Optional[int]:
+        self._pose.append(np.asarray(pose_frame, np.float32))
+        if sensor_frame is not None:
+            self._sensor.append(np.asarray(sensor_frame, np.float32))
+        if len(self._pose) < self.seq_len:
+            return None
+        self._pose = self._pose[-self.seq_len :]
+        self._sensor = self._sensor[-self.seq_len :]
+        skel = np.stack(self._pose)[None]                 # (1, T, V, C)
+        sensor = (
+            np.stack(self._sensor)[None] if self._sensor else None
+        )
+        pred = int(self.predictor.predict(skel, sensor)[0])
+        self._votes.append(pred)
+        self._votes = self._votes[-self.smooth :]
+        return int(np.bincount(self._votes).argmax())

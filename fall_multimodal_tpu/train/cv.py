@@ -172,3 +172,13 @@ def grid_search(
             logger.info(f"grid point {point}: val {row['val_accuracy']:.4f}")
     rows.sort(key=lambda r: -(r["val_accuracy"] or 0))
     return rows
+
+
+def reference_grid() -> Dict[str, List[Any]]:
+    """The reference's shipped 48-point search space
+    (``hyperparameter_tuning.py:449-454``)."""
+    return {
+        "embed_dim": [16, 32, 64],
+        "n_stage": [1, 2, 3, 4],
+        "act_type": ["relu", "leakyrelu", "tanh", "gelu"],
+    }
