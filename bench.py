@@ -12,7 +12,8 @@ this machine's CPU (1 core, torch 2.x, batch 32, fwd+bwd+RMSprop step):
 5.98 windows/sec. BASELINE.md's target is >= 20x that per chip.
 
 Batch-size sweep on v5e (f32): 256 -> 91k, 512 -> 159k, 1024 -> 267k,
-2048 -> 794k windows/s (default), 4096 OOMs on the LSTM scan activations.
+2048 -> 794k windows/s (default); 4096 crashes this toolchain's remote
+compile helper (not an HBM limit), so 2048 is the practical ceiling here.
 """
 
 from __future__ import annotations
