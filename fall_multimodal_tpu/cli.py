@@ -19,7 +19,7 @@ import argparse
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -65,12 +65,11 @@ def load_cli_config(args):
 
 def main(argv=None) -> Dict:
     args = parse_args(argv)
-    from fall_multimodal_tpu.configs import Config
     from fall_multimodal_tpu.data import load_dataset, split_dataset, to_device
     from fall_multimodal_tpu.models import build_model
     from fall_multimodal_tpu.train import (
         build_optimizer, classification_report, create_train_state, evaluate,
-        fit, make_eval_epoch, param_count,
+        make_eval_epoch,
     )
     from fall_multimodal_tpu.train.cv import cross_validate, run_fold
     from fall_multimodal_tpu.utils import create_logger

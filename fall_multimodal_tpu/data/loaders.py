@@ -25,11 +25,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from fall_multimodal_tpu.data.preprocess import (
-    add_center_joint,
-    scale_pose,
-    sliding_windows,
-)
+from fall_multimodal_tpu.data.preprocess import add_center_joint, scale_pose
 from fall_multimodal_tpu.data.synthetic import WindowedDataset, make_synthetic
 from fall_multimodal_tpu.data.splits import kfold_indices, train_valid_test_split
 

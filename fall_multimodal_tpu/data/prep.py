@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import pickle
 import zipfile
-from typing import Callable, Dict, List, Optional, Protocol, Sequence, Tuple
+from typing import Dict, List, Optional, Protocol, Sequence, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ All models share one forward contract:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ semantics notes honored here:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ no permutes in the hot path, attention contractions hit the MXU directly.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ and this executor is kept as the measured baseline for future kernel work.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

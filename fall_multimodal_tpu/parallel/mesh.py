@@ -16,7 +16,7 @@ amortize them; data parallel is the one load-bearing axis (SURVEY.md 2.5).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import numpy as np
 from fall_multimodal_tpu.configs import Config
 from fall_multimodal_tpu.models import build_model
 from fall_multimodal_tpu.train.loop import k_copies_logits
-from fall_multimodal_tpu.train.state import TrainState
 
 
 class Predictor:

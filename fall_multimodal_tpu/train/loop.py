@@ -9,7 +9,6 @@ matrix on device; only final scalars land on host.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 

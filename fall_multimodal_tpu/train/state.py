@@ -7,7 +7,7 @@ through jitted scans and checkpoints atomically via orbax.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax

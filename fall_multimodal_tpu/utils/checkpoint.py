@@ -11,9 +11,8 @@ never requires the output dir to survive a wipe.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

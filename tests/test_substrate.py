@@ -33,6 +33,8 @@ def test_default_config_roundtrip():
         "default", "default_urfall", "bilstm", "bilstm_urfall",
         "twostream_stgcan", "two_stgcan_bilstm_harup", "two_stgcan_bilstm_urfall",
         "gstcan_urfall_3stream", "gstcan_harup_3stream", "musa_harup",
+        "musa_ablation_harup", "musa_imvia", "musa_fukinect",
+        "transformer_ensemble_harup",
         "targcn_harup", "skeleton_transformer_harup", "sensor_cnn_bilstm_urfall",
     ],
 )
