@@ -1,8 +1,9 @@
 """Benchmark harness: flagship 3-stream GSTCAN training throughput.
 
-Measures fwd+bwd+update windows/sec on the attached accelerator for the
-BASELINE.json north-star workload (UR-Fall 3-stream: pts STGCAN + motion
-STGCAN + CNN_BiLSTM sensor, batch training step), and prints ONE JSON line:
+Measures the framework's actual execution model — whole scanned epochs
+(on-device shuffle + batch gather + fwd+bwd+update per step, zero host
+round-trips) — on the BASELINE.json north-star workload (UR-Fall 3-stream:
+pts STGCAN + motion STGCAN + CNN_BiLSTM sensor). Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "windows/sec", "vs_baseline": N}
 
@@ -11,9 +12,13 @@ Baseline: the PyTorch reference model (notebook-canonical
 this machine's CPU (1 core, torch 2.x, batch 32, fwd+bwd+RMSprop step):
 5.98 windows/sec. BASELINE.md's target is >= 20x that per chip.
 
-Batch-size sweep on v5e (f32): 256 -> 91k, 512 -> 159k, 1024 -> 267k,
-2048 -> 794k windows/s (default); 4096 crashes this toolchain's remote
-compile helper (not an HBM limit), so 2048 is the practical ceiling here.
+Measurement notes (v5e):
+* CRITICAL: on this axon remote-TPU platform ``block_until_ready`` returns
+  before device execution completes — every timing here synchronizes by
+  fetching the loss VALUE to host instead. (Un-synced timings inflate
+  throughput by >100x; early round-1 numbers were corrected for this.)
+* batch 4096 crashes this toolchain's remote compile helper (not an HBM
+  limit), so 2048 is the practical ceiling.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ REFERENCE_CPU_WINDOWS_PER_SEC = 5.98
 
 
 def build_flagship(batch_size: int):
+    """Isolated train step (kept for kernel-level comparisons)."""
     from fall_multimodal_tpu.configs import load_config, preset_path
     from fall_multimodal_tpu.data.pipeline import DeviceData
     from fall_multimodal_tpu.models import build_model
@@ -59,23 +65,48 @@ def build_flagship(batch_size: int):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=2048)
-    parser.add_argument("--iters", type=int, default=50)
-    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--windows", type=int, default=16384,
+                        help="device-resident dataset size")
+    parser.add_argument("--epochs", type=int, default=5,
+                        help="timed scanned epochs")
     args = parser.parse_args()
 
-    step, state, batch = build_flagship(args.batch_size)
+    from fall_multimodal_tpu.configs import load_config, preset_path
+    from fall_multimodal_tpu.data import (
+        epoch_batch_indices, make_synthetic, to_device,
+    )
+    from fall_multimodal_tpu.models import build_model
+    from fall_multimodal_tpu.train import (
+        build_optimizer, create_train_state, make_train_epoch,
+    )
 
-    for _ in range(args.warmup):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    cfg = load_config(preset_path("gstcan_urfall_3stream"))
+    data = make_synthetic(
+        n_windows=args.windows, num_classes=2, sensor_dim=4, seed=0
+    )
+    dev = to_device(data)
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, dev.features[:2], dev.sensors[:2], seed=0
+    )
+    epoch = make_train_epoch(
+        model, optimizer, softmax_before_ce=cfg.model.softmax_output
+    )
+
+    warm_idx = epoch_batch_indices(jax.random.key(0), dev.n, args.batch_size)
+    state, metrics = epoch(state, dev, warm_idx)           # compile
+    float(metrics["loss"])                                 # real sync (see notes)
+    steps = warm_idx.shape[0]
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    for e in range(args.epochs):
+        idx = epoch_batch_indices(jax.random.key(e + 1), dev.n, args.batch_size)
+        state, metrics = epoch(state, dev, idx)
+    float(metrics["loss"])                                 # value fetch = sync
     dt = time.perf_counter() - t0
 
-    windows_per_sec = args.iters * args.batch_size / dt
+    windows_per_sec = args.epochs * steps * args.batch_size / dt
     print(
         json.dumps(
             {
