@@ -2,21 +2,21 @@
 
 Run on a real TPU:  python -m fall_multimodal_tpu.ops.pallas.bench_kernels
 
-Measured on v5e (N=512, f32, 2026-08):
+Measured on v5e (N=512, f32, value-fetch synced — block_until_ready does
+not wait on this remote-TPU platform):
 
-| shape                  | XLA     | Pallas  | speedup |
-|------------------------|---------|---------|---------|
-| C 128->256, s2, T=15   | 3.20 ms | 2.68 ms | 1.19x   |
-| C 256->256, s1, T=15   | 3.49 ms | 3.84 ms | 0.91x   |
-| C 64->64,  s1, T=30    | 3.1 ms  | Mosaic internal error (remote
-|                        |         | tpu_compile_helper crash on this
-|                        |         | toolchain; tracked, XLA fallback) |
+| shape                  | XLA      | Pallas   | speedup |
+|------------------------|----------|----------|---------|
+| C 128->256, s2, T=15   | 33.3 ms  | 37.4 ms  | 0.89x   |
+| C 256->256, s1, T=15   | 37.6 ms  | 33.7 ms  | 1.12x   |
+| C 64->64,  s1, T=30    | —        | Mosaic internal error (remote
+|                        |          | tpu_compile_helper crash on this
+|                        |          | toolchain; tracked, XLA fallback) |
 
-Verdict per SURVEY.md section 7: the kernel wins where channel width
-amortizes the VMEM-resident fusion (the deep half of the backbone) and XLA
-keeps the shallow blocks. ``STGCANBackbone`` therefore defaults to XLA;
-``fused_stgcan_block`` is exposed for serving pipelines that batch the deep
-blocks.
+Verdict per SURVEY.md section 7 ("benchmark honestly and keep the flag"):
+roughly parity — one win each; XLA's fusion of this block is already close
+to the VMEM-resident kernel. ``STGCANBackbone`` therefore defaults to XLA;
+``fused_stgcan_block`` stays available per shape.
 """
 
 from __future__ import annotations
@@ -49,18 +49,18 @@ def bench_shape(cin, cout, stride, t_len, n=512, iters=50):
     )
 
     def timeit(f, *args):
-        jax.block_until_ready(f(*args))
+        # value-fetch sync: block_until_ready is unreliable on this platform
+        float(jnp.sum(f(*args)))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = f(*args)
-        jax.block_until_ready(out)
+            float(jnp.sum(out))
         return (time.perf_counter() - t0) / iters * 1e3
 
     ref = xla_fn(v, x)
     t_xla = timeit(xla_fn, v, x)
     try:
         ours = pls_fn(x, folded)
-        jax.block_until_ready(ours)
         err = float(jnp.abs(ours - ref).max())
         t_pls = timeit(pls_fn, x, folded)
         return dict(xla_ms=t_xla, pallas_ms=t_pls, speedup=t_xla / t_pls, max_err=err)

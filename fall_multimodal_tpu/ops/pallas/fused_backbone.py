@@ -6,11 +6,11 @@ runs the deep blocks through the fused Pallas kernel where supported, an XLA
 twin of the folded math elsewhere. Produces identical logits to
 ``backbone.apply(..., train=False)``.
 
-Measured verdict (v5e, batch 1024, full 7-block backbone): the plain jitted
-flax forward serves at 68.5k windows/s; this folded path reaches 17.4k
-(Pallas deep blocks) / 12.1k (XLA twins) — XLA's native convolution pipeline
-wins at these shapes, so the recommended serving path is the flax forward
-and this executor is kept as the measured baseline for future kernel work.
+Measured verdict (v5e, batch 1024, full 7-block backbone, value-fetch
+synced): the plain jitted flax forward serves at 21.1k windows/s; this
+folded path reaches 11.2k — XLA's native convolution pipeline wins at these
+shapes, so the recommended serving path is the flax forward and this
+executor is kept as the measured baseline for future kernel work.
 """
 
 from __future__ import annotations

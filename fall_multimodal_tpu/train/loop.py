@@ -52,11 +52,10 @@ def make_train_step(
     float32), and the loss is computed in float32. No loss scaler is needed
     on TPU (bf16 shares float32's exponent range — SURVEY.md section 2.5).
 
-    Measured caveat (v5e, flagship 3-stream, batch 512): full-bf16 is ~18x
-    SLOWER than f32 here — the V=14 joint axis pads from 8- to 16-row
-    sublane tiles and the tiny convolutions fall off XLA's fast paths, while
-    f32 already gets bf16 MXU passes via the default matmul precision. Keep
-    the default (None = f32 storage) unless shapes change materially.
+    Measured on v5e (flagship 3-stream, batch 2048, value-fetch synced):
+    bf16 7,378 vs f32 6,441 windows/s — a ~15% win. (An earlier "18x slower"
+    reading was a synchronization artifact of the remote-TPU platform's
+    broken block_until_ready; see bench.py measurement notes.)
     """
 
     def step(state: TrainState, batch: DeviceData):
