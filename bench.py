@@ -69,6 +69,11 @@ def main():
                         help="device-resident dataset size")
     parser.add_argument("--epochs", type=int, default=5,
                         help="timed scanned epochs")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="bfloat16",
+                        help="compute dtype (bf16 measured ~15%% faster and "
+                             "matches the reference Gen-3 autocast; params "
+                             "stay f32 either way)")
     args = parser.parse_args()
 
     from fall_multimodal_tpu.configs import load_config, preset_path
@@ -90,8 +95,10 @@ def main():
     state = create_train_state(
         model, optimizer, dev.features[:2], dev.sensors[:2], seed=0
     )
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     epoch = make_train_epoch(
-        model, optimizer, softmax_before_ce=cfg.model.softmax_output
+        model, optimizer, softmax_before_ce=cfg.model.softmax_output,
+        compute_dtype=compute_dtype,
     )
 
     warm_idx = epoch_batch_indices(jax.random.key(0), dev.n, args.batch_size)
