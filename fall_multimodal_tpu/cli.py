@@ -39,6 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--data-path", default=None, help="dataset root (CSV dir or pickle)")
     p.add_argument("--test-only", action="store_true")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--pretrained", default=None,
+                   help="checkpoint dir to load best weights from (fresh training)")
     p.add_argument("--synthetic-windows", type=int, default=2048,
                    help="synthetic dataset size when no --data-path")
     p.add_argument("--tensorboard", action="store_true",
@@ -154,7 +156,9 @@ def main(argv=None) -> Dict:
                 writer.add_scalar(name, value, epoch)
 
     result = run_fold(cfg, splits, epochs=args.epochs, logger=logger,
-                      checkpointer=ckpt, metrics_callback=metrics_callback)
+                      checkpointer=ckpt, metrics_callback=metrics_callback,
+                      resume_from=args.resume or cfg.resume_from,
+                      pretrained_path=args.pretrained or cfg.pretrained_weight_path)
     model = build_model(cfg)
     logger.info(
         f"best val accuracy {result.best_val_accuracy:.5f}; "

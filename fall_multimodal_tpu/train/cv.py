@@ -36,8 +36,17 @@ def run_fold(
     checkpointer=None,
     fold_seed: int = 0,
     metrics_callback=None,
+    resume_from: Optional[str] = None,
+    pretrained_path: Optional[str] = None,
 ):
-    """Train one fold from scratch; returns the FitResult."""
+    """Train one fold; returns the FitResult.
+
+    ``resume_from``: checkpoint dir — restores the full latest TrainState
+    (params/opt/batch_stats/step) and continues at the saved epoch
+    (reference RESUME_FROM, ``main.py:295-304``). ``pretrained_path``:
+    checkpoint dir — loads the best weights only, then trains from epoch 1
+    (reference PRETRAINED_WEIGHT_PATH, ``main.py:306-310``).
+    """
     model = build_model(config)
     steps_per_epoch = max(1, splits["train"].n // config.train.batch_size)
     optimizer = build_optimizer(
@@ -53,6 +62,26 @@ def run_fold(
         splits["train"].sensors[:2],
         seed=config.seed + fold_seed,
     )
+    start_epoch, initial_best = 1, -1.0
+    if resume_from:
+        from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+        state, saved_epoch, initial_best = Checkpointer(resume_from).restore(
+            "latest", state
+        )
+        start_epoch = saved_epoch + 1
+        if logger:
+            logger.info(f"resumed from {resume_from} at epoch {saved_epoch} "
+                        f"(best acc {initial_best:.4f})")
+    elif pretrained_path:
+        from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+        restored, _, _ = Checkpointer(pretrained_path).restore("best", state)
+        state = state._replace(
+            params=restored.params, batch_stats=restored.batch_stats
+        )
+        if logger:
+            logger.info(f"loaded pretrained weights from {pretrained_path}")
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if config.train.dtype == "bfloat16" else None
@@ -72,6 +101,8 @@ def run_fold(
         checkpointer=checkpointer,
         compute_dtype=compute_dtype,
         metrics_callback=metrics_callback,
+        start_epoch=start_epoch,
+        initial_best_acc=initial_best,
     )
 
 

@@ -226,6 +226,8 @@ def fit(
     checkpointer=None,
     compute_dtype=None,
     metrics_callback=None,
+    start_epoch: int = 1,
+    initial_best_acc: float = -1.0,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -243,9 +245,9 @@ def fit(
         "train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [],
         "epoch_time": [],
     }
-    best_state, best_acc = state, -1.0
+    best_state, best_acc = state, initial_best_acc
 
-    for epoch_i in range(1, epochs + 1):
+    for epoch_i in range(start_epoch, epochs + 1):
         t0 = time.perf_counter()
         ekey = jax.random.fold_in(shuffle_key, epoch_i)
         idx = epoch_batch_indices(ekey, splits["train"].n, batch_size, drop_last)

@@ -145,3 +145,28 @@ def test_vmapped_cv_matches_sequential_quality(tiny_data):
     assert "test_accuracy_mean" in results["summary"]
     # synthetic data is separable: parallel folds must actually learn
     assert results["summary"]["test_accuracy_mean"] > 0.5
+
+
+def test_resume_training_continues_from_latest(tmp_path, tiny_data):
+    """Reference RESUME_FROM capability: restore latest state and continue
+    at the saved epoch."""
+    cfg = _cfg()
+    splits = {k: to_device(v) for k, v in split_dataset(tiny_data, seed=1).items()}
+    ckpt = Checkpointer(str(tmp_path / "r"))
+    first = run_fold(cfg, splits, epochs=2, checkpointer=ckpt)
+    resumed = run_fold(cfg, splits, epochs=4, checkpointer=ckpt,
+                       resume_from=str(tmp_path / "r"))
+    # only epochs 3 and 4 ran in the resumed fit
+    assert len(resumed.history["train_loss"]) == 2
+    assert int(resumed.state.step) > int(first.state.step)
+
+
+def test_pretrained_weights_load(tmp_path, tiny_data):
+    cfg = _cfg()
+    splits = {k: to_device(v) for k, v in split_dataset(tiny_data, seed=1).items()}
+    ckpt = Checkpointer(str(tmp_path / "p"))
+    run_fold(cfg, splits, epochs=2, checkpointer=ckpt)
+    warm = run_fold(cfg, splits, epochs=1, pretrained_path=str(tmp_path / "p"))
+    cold = run_fold(cfg, splits, epochs=1)
+    # warm start from trained weights should not be worse at epoch 1
+    assert warm.history["train_loss"][0] <= cold.history["train_loss"][0] + 0.1
