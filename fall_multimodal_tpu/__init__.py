@@ -22,3 +22,22 @@ TPU-first design decisions (vs. the reference):
 """
 
 __version__ = "0.1.0"
+
+# Top-level convenience API (lazy to keep bare import cheap).
+def __getattr__(name):
+    if name in ("load_config", "preset_path", "Config"):
+        from fall_multimodal_tpu import configs
+        return getattr(configs, name)
+    if name == "build_model":
+        from fall_multimodal_tpu.models import build_model
+        return build_model
+    if name in ("load_dataset", "split_dataset", "to_device", "make_synthetic"):
+        from fall_multimodal_tpu import data
+        return getattr(data, name)
+    if name in ("fit", "evaluate", "create_train_state", "build_optimizer"):
+        from fall_multimodal_tpu import train
+        return getattr(train, name)
+    if name in ("Predictor", "StreamingClassifier"):
+        from fall_multimodal_tpu import serve
+        return getattr(serve, name)
+    raise AttributeError(f"module 'fall_multimodal_tpu' has no attribute {name!r}")
