@@ -228,6 +228,7 @@ def fit(
     metrics_callback=None,
     start_epoch: int = 1,
     initial_best_acc: float = -1.0,
+    nan_guard: bool = True,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -255,7 +256,19 @@ def fit(
         val = evaluate(eval_epoch, state, splits["valid"], batch_size)
         dt = time.perf_counter() - t0
 
-        history["train_loss"].append(float(tm["loss"]))
+        train_loss = float(tm["loss"])
+        if nan_guard and not np.isfinite(train_loss):
+            # failure detection (capability absent in the reference, which
+            # required a manual restart from checkpoint.pt): stop the run,
+            # keep the best state, and report instead of training on NaNs.
+            if logger:
+                logger.error(
+                    f"non-finite train loss at epoch {epoch_i}; stopping and "
+                    f"keeping the best state (val acc {best_acc:.4f})"
+                )
+            history["train_loss"].append(train_loss)
+            break
+        history["train_loss"].append(train_loss)
         history["train_acc"].append(float(tm["accuracy"]))
         history["val_loss"].append(val.loss)
         history["val_acc"].append(val.accuracy)

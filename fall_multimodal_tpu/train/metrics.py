@@ -120,3 +120,39 @@ def classification_report(
             f"{stats[agg + '_recall']:>10.5f}{stats[agg + '_f1']:>10.5f}"
         )
     return "\n".join(lines)
+
+
+def save_confusion_png(
+    cm: np.ndarray,
+    path: str,
+    class_names: Optional[Sequence[str]] = None,
+    title: str = "Confusion matrix",
+) -> str:
+    """Confusion-matrix heatmap PNG (notebook capability,
+    ``GSTCAN_UR_conv.ipynb:6``). Requires matplotlib; raises ImportError
+    otherwise."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cm = np.asarray(cm)
+    n = cm.shape[0]
+    names = list(class_names) if class_names else [str(i) for i in range(n)]
+    fig, ax = plt.subplots(figsize=(max(4, n * 0.8), max(3.5, n * 0.7)))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(n), names, rotation=45, ha="right")
+    ax.set_yticks(range(n), names)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    ax.set_title(title)
+    thresh = cm.max() / 2 if cm.max() else 0.5
+    for i in range(n):
+        for j in range(n):
+            ax.text(j, i, f"{int(cm[i, j])}", ha="center", va="center",
+                    color="white" if cm[i, j] > thresh else "black")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

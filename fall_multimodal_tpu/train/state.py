@@ -47,5 +47,16 @@ def create_train_state(
     )
 
 
-def param_count(state: TrainState) -> int:
-    return sum(int(x.size) for x in jax.tree.leaves(state.params))
+def param_count(state: TrainState, exclude: str = "") -> int:
+    """Trainable-parameter count; ``exclude`` skips subtrees whose dotted
+    path contains the substring (the reference's count_params excludes
+    ``fc``, ``musa_model.py:16-18``)."""
+    if not exclude:
+        return sum(int(x.size) for x in jax.tree.leaves(state.params))
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    total = 0
+    for path, leaf in flat:
+        name = ".".join(str(getattr(pp, "key", getattr(pp, "name", pp))) for pp in path)
+        if exclude not in name:
+            total += int(leaf.size)
+    return total

@@ -161,3 +161,45 @@ def test_dropblock_t_zeroes_frames(rng):
     frame_zero = (out == 0).all(axis=(2, 3))
     assert frame_zero.any()
     np.testing.assert_allclose(np.asarray(mod.apply(v, x, 0.5, False)), np.asarray(x))
+
+
+def test_save_confusion_png(tmp_path):
+    from fall_multimodal_tpu.train.metrics import save_confusion_png
+
+    cm = np.array([[10, 2], [1, 12]])
+    out = save_confusion_png(cm, str(tmp_path / "cm.png"), ["fall", "adl"])
+    import os
+    assert os.path.getsize(out) > 1000
+
+
+def test_param_count_exclude():
+    from fall_multimodal_tpu.configs import load_config, preset_path
+    from fall_multimodal_tpu.train import build_optimizer, create_train_state, param_count
+
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    state = create_train_state(model, opt, jnp.ones((2, 30, 14, 3)), jnp.ones((2, 30, 15)))
+    total = param_count(state)
+    no_head = param_count(state, exclude="Dense")
+    assert 0 < no_head < total
+
+
+def test_nan_guard_stops_training():
+    from fall_multimodal_tpu.data import make_synthetic, split_dataset, to_device
+    from fall_multimodal_tpu.train import build_optimizer, create_train_state, fit
+    from fall_multimodal_tpu.configs import load_config, preset_path
+
+    cfg = load_config(preset_path("bilstm"),
+                      overrides={"data.num_classes": 3, "optim.lr": "1e38",
+                                 "train.max_norm": 0})
+    data = make_synthetic(n_windows=96, num_classes=3, sensor_dim=6, seed=0)
+    splits = {k: to_device(v) for k, v in split_dataset(data, seed=1).items()}
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    state = create_train_state(model, opt, splits["train"].features[:2],
+                               splits["train"].sensors[:2])
+    result = fit(model, opt, state, splits, epochs=6, batch_size=32,
+                 num_classes=3)
+    # an absurd LR must blow up; the guard stops before 6 epochs complete
+    assert len(result.history["train_loss"]) < 6
