@@ -1,0 +1,1 @@
+"""Custom TPU ops: Pallas kernels and folded-inference executors."""

@@ -95,3 +95,21 @@ def test_parallel_epoch_matches_serial_epoch(setup):
     # reassociation, not divergence.
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_sharded_data_storage_matches_replicated(setup):
+    """shard_data: dataset storage sharded across devices; gathers ride the
+    mesh and training must match the replicated-storage path."""
+    from fall_multimodal_tpu.parallel import shard_data
+
+    cfg, model, optimizer, state, dev = setup
+    mesh = make_mesh(4)
+    idx = epoch_batch_indices(jax.random.key(0), dev.n, 32)
+    epoch = make_parallel_train_epoch(model, optimizer, mesh)
+
+    s_repl, m_repl = epoch(replicate_state(state, mesh), replicate_data(dev, mesh), idx)
+    s_shard, m_shard = epoch(replicate_state(state, mesh), shard_data(dev, mesh), idx)
+
+    np.testing.assert_allclose(float(m_repl["loss"]), float(m_shard["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_repl.params), jax.tree.leaves(s_shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
