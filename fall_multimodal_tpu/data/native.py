@@ -91,9 +91,14 @@ def slice_windows_numpy(
     include_last: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Reference-semantics fallback: windows that stay within one video and
-    contain no NaN; returns (windows (W, seq, F), start_rows (W,))."""
+    contain no NaN; returns (windows (W, seq, F), start_rows (W,)).
+
+    ``include_last=False`` drops each video's final full window (the
+    Gen-1/2 per-video ``range(n - seq_len)`` convention, har_create4.py:125):
+    a window is kept only if the row after its end exists in the same video.
+    """
     n = len(data)
-    count = n - seq_len + (1 if include_last else 0)
+    count = n - seq_len + 1
     if count <= 0:
         return (
             np.zeros((0, seq_len, data.shape[1]), np.float32),
@@ -101,6 +106,12 @@ def slice_windows_numpy(
         )
     starts = np.arange(count)
     same_video = video_codes[starts] == video_codes[starts + seq_len - 1]
+    if not include_last:
+        nxt = starts + seq_len
+        next_in_video = (nxt < n) & (
+            video_codes[np.minimum(nxt, n - 1)] == video_codes[starts]
+        )
+        same_video = same_video & next_in_video
     has_nan = np.isnan(data).any(axis=1)
     nan_prefix = np.concatenate([[0], np.cumsum(has_nan)])
     clean = (nan_prefix[starts + seq_len] - nan_prefix[starts]) == 0

@@ -62,13 +62,17 @@ def run_fold(
         splits["train"].sensors[:2],
         seed=config.seed + fold_seed,
     )
-    start_epoch, initial_best = 1, -1.0
+    start_epoch, initial_best, initial_best_state = 1, -1.0, None
     if resume_from:
         from fall_multimodal_tpu.utils.checkpoint import Checkpointer
 
-        state, saved_epoch, initial_best = Checkpointer(resume_from).restore(
-            "latest", state
-        )
+        src = Checkpointer(resume_from)
+        state, saved_epoch, initial_best = src.restore("latest", state)
+        if src.has("best"):
+            # the final test must run on the best weights even if no
+            # post-resume epoch improves (reference reloads best,
+            # main.py:344); the latest weights are not the best ones.
+            initial_best_state, _, _ = src.restore("best", state)
         start_epoch = saved_epoch + 1
         if logger:
             logger.info(f"resumed from {resume_from} at epoch {saved_epoch} "
@@ -103,6 +107,7 @@ def run_fold(
         metrics_callback=metrics_callback,
         start_epoch=start_epoch,
         initial_best_acc=initial_best,
+        initial_best_state=initial_best_state,
     )
 
 

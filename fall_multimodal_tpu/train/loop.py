@@ -228,6 +228,7 @@ def fit(
     metrics_callback=None,
     start_epoch: int = 1,
     initial_best_acc: float = -1.0,
+    initial_best_state: Optional[TrainState] = None,
     nan_guard: bool = True,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
@@ -246,7 +247,13 @@ def fit(
         "train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [],
         "epoch_time": [],
     }
-    best_state, best_acc = state, initial_best_acc
+    # On resume, the caller passes the restored *best* checkpoint separately
+    # (initial_best_state): seeding best_state with the restored latest
+    # weights would silently test non-best weights if no post-resume epoch
+    # improves on initial_best_acc (the reference reloads best before its
+    # final test, main.py:344).
+    best_state = initial_best_state if initial_best_state is not None else state
+    best_acc = initial_best_acc
 
     for epoch_i in range(start_epoch, epochs + 1):
         t0 = time.perf_counter()

@@ -20,8 +20,10 @@ extern "C" {
 
 // Count valid windows. video_ids must be row-aligned group codes (rows of
 // one video contiguous). include_last=0 reproduces the Gen-1/2 prep
-// convention range(n - seq_len) (har_create4.py:125); include_last=1 the
-// Gen-3 convention (final full window kept).
+// convention range(n - seq_len) *per video* (har_create4.py:125): each
+// video's final full window is dropped, i.e. a window is kept only if the
+// row after its end exists and belongs to the same video. include_last=1
+// is the Gen-3 convention (every final full window kept).
 int64_t fm_count_windows(const float* data, int64_t n_rows, int64_t n_cols,
                          const int64_t* video_ids, int64_t seq_len,
                          int include_last) {
@@ -37,9 +39,11 @@ int64_t fm_count_windows(const float* data, int64_t n_rows, int64_t n_cols,
     nan_prefix[r + 1] = nan_prefix[r] + has_nan;
   }
   int64_t count = 0;
-  int64_t last_start = include_last ? n_rows - seq_len : n_rows - seq_len - 1;
-  for (int64_t s = 0; s <= last_start; ++s) {
+  for (int64_t s = 0; s <= n_rows - seq_len; ++s) {
     if (video_ids[s] != video_ids[s + seq_len - 1]) continue;
+    if (!include_last &&
+        (s + seq_len >= n_rows || video_ids[s + seq_len] != video_ids[s]))
+      continue;
     if (nan_prefix[s + seq_len] - nan_prefix[s] > 0) continue;
     ++count;
   }
@@ -64,9 +68,11 @@ int64_t fm_slice_windows(const float* data, int64_t n_rows, int64_t n_cols,
   }
   int64_t w = 0;
   const int64_t window_bytes = seq_len * n_cols * sizeof(float);
-  int64_t last_start = include_last ? n_rows - seq_len : n_rows - seq_len - 1;
-  for (int64_t s = 0; s <= last_start; ++s) {
+  for (int64_t s = 0; s <= n_rows - seq_len; ++s) {
     if (video_ids[s] != video_ids[s + seq_len - 1]) continue;
+    if (!include_last &&
+        (s + seq_len >= n_rows || video_ids[s + seq_len] != video_ids[s]))
+      continue;
     if (nan_prefix[s + seq_len] - nan_prefix[s] > 0) continue;
     std::memcpy(out + w * seq_len * n_cols, data + s * n_cols, window_bytes);
     out_start_rows[w] = s;

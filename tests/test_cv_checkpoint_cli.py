@@ -170,3 +170,29 @@ def test_pretrained_weights_load(tmp_path, tiny_data):
     cold = run_fold(cfg, splits, epochs=1)
     # warm start from trained weights should not be worse at epoch 1
     assert warm.history["train_loss"][0] <= cold.history["train_loss"][0] + 0.1
+
+
+def test_resume_tests_best_not_latest_when_no_improvement(tmp_path, tiny_data):
+    """ADVICE r1 (medium): on resume, if no post-resume epoch beats the
+    saved best accuracy, the final test must run on the restored *best*
+    checkpoint, not the restored latest state (reference reloads best
+    before testing, main.py:344)."""
+    import jax
+
+    cfg = _cfg()
+    splits = {k: to_device(v) for k, v in split_dataset(tiny_data, seed=1).items()}
+    ckpt = Checkpointer(str(tmp_path / "rb"))
+    first = run_fold(cfg, splits, epochs=2, checkpointer=ckpt)
+
+    # Rewrite "best" with sentinel params and an unbeatable accuracy so the
+    # resumed epoch cannot improve on it; "latest" keeps the real weights.
+    sentinel = first.state._replace(
+        params=jax.tree.map(lambda x: x * 0 + 7.0, first.state.params)
+    )
+    ckpt.save_best(sentinel, epoch=2, best_acc=2.0)
+    ckpt.save_latest(first.state, epoch=2, best_acc=2.0)
+
+    resumed = run_fold(cfg, splits, epochs=3, resume_from=str(tmp_path / "rb"))
+    assert resumed.best_val_accuracy == pytest.approx(2.0)
+    for leaf in jax.tree.leaves(resumed.best_state.params):
+        np.testing.assert_allclose(np.asarray(leaf), 7.0)

@@ -75,3 +75,19 @@ def test_csv_loader_uses_slicer(tmp_path):
     assert data.features.shape == (42, 30, 14, 3)
     assert sorted(set(data.videos.tolist())) == ["a", "b"]
     assert data.labels.shape[1] == 2
+
+
+def test_include_last_false_drops_final_window_per_video():
+    """ADVICE r1 (low): with include_last=False every video's last full
+    window must be dropped (per-video range(n - seq_len), har_create4.py:125)
+    — not just the final window of the global concatenated table."""
+    rng = np.random.default_rng(3)
+    # two videos of 10 rows each, seq_len 4
+    data = rng.normal(size=(20, 5)).astype(np.float32)
+    codes = np.repeat(np.array([0, 1], np.int64), 10)
+    for fn in (slice_windows, slice_windows_numpy):
+        w, s = fn(data, codes, 4, include_last=False)
+        # per video: starts 0..5 (range(10-4)) -> 6 windows; NOT start 6
+        assert list(s) == [0, 1, 2, 3, 4, 5, 10, 11, 12, 13, 14, 15]
+        wi, si = fn(data, codes, 4, include_last=True)
+        assert list(si) == list(range(7)) + list(range(10, 17))
