@@ -45,6 +45,10 @@ def parse_args(argv=None):
                    help="synthetic dataset size when no --data-path")
     p.add_argument("--tensorboard", action="store_true",
                    help="write per-epoch scalars via torch.utils.tensorboard")
+    p.add_argument("--grad-norms", action="store_true",
+                   help="also log per-parameter per-step gradient norms "
+                        "(reference main.py:84-89; implies on-device "
+                        "accumulation, flushed per epoch)")
     return p.parse_args(argv)
 
 
@@ -145,7 +149,8 @@ def main(argv=None) -> Dict:
         return {"test_accuracy": test.accuracy}
 
     metrics_callback = None
-    if args.tensorboard:
+    step_metrics_callback = None
+    if args.tensorboard or args.grad_norms:
         # capability of the reference's SummaryWriter scalars (main.py:146-148)
         from torch.utils.tensorboard import SummaryWriter
 
@@ -155,10 +160,18 @@ def main(argv=None) -> Dict:
             for name, value in scalars.items():
                 writer.add_scalar(name, value, epoch)
 
+        if args.grad_norms:
+            # per-parameter per-step gradient norms (main.py:84-89,129)
+            def step_metrics_callback(step, scalars):
+                for name, value in scalars.items():
+                    writer.add_scalar(name, value, step)
+
     result = run_fold(cfg, splits, epochs=args.epochs, logger=logger,
                       checkpointer=ckpt, metrics_callback=metrics_callback,
                       resume_from=args.resume or cfg.resume_from,
-                      pretrained_path=args.pretrained or cfg.pretrained_weight_path)
+                      pretrained_path=args.pretrained or cfg.pretrained_weight_path,
+                      grad_norms=args.grad_norms,
+                      step_metrics_callback=step_metrics_callback)
     model = build_model(cfg)
     logger.info(
         f"best val accuracy {result.best_val_accuracy:.5f}; "

@@ -42,6 +42,9 @@ class DataConfig:
     split: Tuple[float, float, float] = (0.6, 0.2, 0.2)
     split_by_video: bool = True      # video-level split (no window leakage)
     n_folds: int = 10
+    # sample-level stratified CV folds (notebook KFold_load_dataset,
+    # GSTCAN_HAR_conv_10kfold.ipynb:5); overrides split_by_video for CV.
+    stratify_folds: bool = False
 
 
 @dataclass(frozen=True)
@@ -65,6 +68,10 @@ class ModelConfig:
     # residual add — Model/stgcan.py:138-144 vs GSTCAN_UR_conv.ipynb:1), so
     # there is exactly one block semantics and this flag is a no-op.
     ca_before_residual: bool = True
+    # From-scratch init scheme: "torch" (reference trains from torch module
+    # defaults — its init_param helper is dead code), "init_param"
+    # (musa_model.py:408-420 kaiming variants), or "flax" (lecun_normal).
+    weight_init: str = "torch"
 
 
 @dataclass(frozen=True)

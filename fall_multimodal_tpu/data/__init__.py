@@ -24,7 +24,11 @@ from fall_multimodal_tpu.data.preprocess import (
     sliding_windows,
     window_video,
 )
-from fall_multimodal_tpu.data.splits import kfold_indices, train_valid_test_split
+from fall_multimodal_tpu.data.splits import (
+    kfold_indices,
+    stratified_kfold_indices,
+    train_valid_test_split,
+)
 from fall_multimodal_tpu.data.synthetic import WindowedDataset, make_synthetic
 
 __all__ = [
@@ -38,6 +42,7 @@ __all__ = [
     "gather_batch",
     "kfold_datasets",
     "kfold_indices",
+    "stratified_kfold_indices",
     "load_csv_windows",
     "load_dataset",
     "load_pickle_windows",

@@ -27,7 +27,11 @@ import numpy as np
 
 from fall_multimodal_tpu.data.preprocess import add_center_joint, scale_pose
 from fall_multimodal_tpu.data.synthetic import WindowedDataset, make_synthetic
-from fall_multimodal_tpu.data.splits import kfold_indices, train_valid_test_split
+from fall_multimodal_tpu.data.splits import (
+    kfold_indices,
+    stratified_kfold_indices,
+    train_valid_test_split,
+)
 
 
 def load_pickle_windows(paths: Sequence[str]) -> WindowedDataset:
@@ -165,9 +169,21 @@ def split_dataset(
 
 
 def kfold_datasets(
-    data: WindowedDataset, n_folds: int = 10, seed: int = 42, by_video: bool = True
+    data: WindowedDataset,
+    n_folds: int = 10,
+    seed: int = 42,
+    by_video: bool = True,
+    stratify: bool = False,
 ) -> List[Dict[str, WindowedDataset]]:
-    folds = kfold_indices(data.videos, n_folds=n_folds, seed=seed, by_video=by_video)
+    """``stratify=True``: sample-level stratified folds (the notebook
+    ``KFold_load_dataset`` protocol — overrides ``by_video``); otherwise
+    plain/video k-fold."""
+    if stratify:
+        folds = stratified_kfold_indices(data.labels, n_folds=n_folds, seed=seed)
+    else:
+        folds = kfold_indices(
+            data.videos, n_folds=n_folds, seed=seed, by_video=by_video
+        )
     return [
         {name: data.subset(i) for name, i in fold.items()} for fold in folds
     ]

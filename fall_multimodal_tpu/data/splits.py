@@ -57,6 +57,44 @@ def train_valid_test_split(
     return out
 
 
+def stratified_kfold_indices(
+    labels: Sequence,
+    n_folds: int = 10,
+    seed: int = 42,
+) -> List[Dict[str, np.ndarray]]:
+    """Sample-level stratified k-fold (valid == test per fold).
+
+    Capability of ``KFold_load_dataset`` (``GSTCAN_HAR_conv_10kfold.ipynb:5``,
+    sklearn ``StratifiedKFold(shuffle=True, random_state=42)``), re-derived
+    without sklearn: per class, shuffle that class's sample indices and deal
+    them round-robin over folds, rotating the starting fold across classes
+    so the ±1 remainders don't pile onto fold 0. Every fold ends up with the
+    class distribution of the whole set to within one sample per class.
+
+    ``labels``: (N,) int classes or (N, K) one-hot/soft rows.
+    """
+    y = np.asarray(labels)
+    if y.ndim > 1:
+        y = y.argmax(axis=-1)
+    n = len(y)
+    if n_folds < 2 or n_folds > n:
+        raise ValueError(f"n_folds={n_folds} invalid for {n} samples")
+    rng = np.random.default_rng(seed)
+    fold_of = np.empty(n, np.int64)
+    start = 0
+    for c in np.unique(y):
+        idx = rng.permutation(np.where(y == c)[0])
+        fold_of[idx] = (start + np.arange(len(idx))) % n_folds
+        start = (start + len(idx)) % n_folds
+
+    folds = []
+    for f in range(n_folds):
+        test_idx = np.where(fold_of == f)[0]
+        train_idx = np.where(fold_of != f)[0]
+        folds.append({"train": train_idx, "valid": test_idx, "test": test_idx})
+    return folds
+
+
 def kfold_indices(
     video_of_sample: Sequence,
     n_folds: int = 10,

@@ -24,7 +24,7 @@ from fall_multimodal_tpu.data import kfold_datasets, to_device
 from fall_multimodal_tpu.data.synthetic import WindowedDataset
 from fall_multimodal_tpu.models import build_model
 from fall_multimodal_tpu.train.loop import fit
-from fall_multimodal_tpu.train.optim import build_optimizer
+from fall_multimodal_tpu.train.optim import build_optimizer, build_schedule
 from fall_multimodal_tpu.train.state import create_train_state
 
 
@@ -38,6 +38,8 @@ def run_fold(
     metrics_callback=None,
     resume_from: Optional[str] = None,
     pretrained_path: Optional[str] = None,
+    grad_norms: bool = False,
+    step_metrics_callback=None,
 ):
     """Train one fold; returns the FitResult.
 
@@ -61,6 +63,7 @@ def run_fold(
         splits["train"].features[:2],
         splits["train"].sensors[:2],
         seed=config.seed + fold_seed,
+        weight_init=config.model.weight_init,
     )
     start_epoch, initial_best, initial_best_state = 1, -1.0, None
     if resume_from:
@@ -89,6 +92,7 @@ def run_fold(
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if config.train.dtype == "bfloat16" else None
+    lr_fn = build_schedule(config.lr_scheduler, config.optim.lr, steps_per_epoch)
     return fit(
         model,
         optimizer,
@@ -108,6 +112,9 @@ def run_fold(
         start_epoch=start_epoch,
         initial_best_acc=initial_best,
         initial_best_state=initial_best_state,
+        grad_norms=grad_norms,
+        step_metrics_callback=step_metrics_callback,
+        lr_fn=lr_fn if callable(lr_fn) else None,
     )
 
 
@@ -127,7 +134,9 @@ def cross_validate(
     """
     n_folds = n_folds or config.data.n_folds
     folds = kfold_datasets(
-        data, n_folds=n_folds, seed=config.seed, by_video=config.data.split_by_video
+        data, n_folds=n_folds, seed=config.seed,
+        by_video=config.data.split_by_video,
+        stratify=config.data.stratify_folds,
     )
     per_fold: List[Dict[str, float]] = []
     for i, fold in enumerate(folds):
@@ -184,14 +193,13 @@ def grid_search(
     rows: List[Dict[str, Any]] = []
     for values in itertools.product(*(grid[k] for k in keys)):
         point = dict(zip(keys, values))
+        import dataclasses
+
         kwargs = dict(config.model.kwargs)
         kwargs.update(point)
-        cfg = config.replace(model=config.model.__class__(
-            name=config.model.name,
-            kwargs=kwargs,
-            softmax_output=config.model.softmax_output,
-            ca_before_residual=config.model.ca_before_residual,
-        ))
+        cfg = config.replace(
+            model=dataclasses.replace(config.model, kwargs=kwargs)
+        )
         splits_np = split_dataset(
             data, split=config.data.split, seed=cfg.seed,
             by_video=config.data.split_by_video,

@@ -70,7 +70,7 @@ def cross_validate_vmapped(
     states = _stack_states([
         create_train_state(
             model, optimizer, dev.features[:2], dev.sensors[:2],
-            seed=config.seed + k,
+            seed=config.seed + k, weight_init=config.model.weight_init,
         )
         for k in range(n_folds)
     ])

@@ -42,6 +42,7 @@ def make_train_step(
     label_smoothing: float = 0.0,
     softmax_before_ce: bool = False,
     compute_dtype: Optional[jnp.dtype] = None,
+    grad_norms: bool = False,
 ) -> Callable[[TrainState, DeviceData], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """One optimizer step: forward (train-mode BN + dropout), loss, grads,
     update. Returns (new_state, {loss, accuracy}).
@@ -110,16 +111,29 @@ def make_train_step(
             step=state.step + 1,
             rng=state.rng,
         )
-        return new_state, {"loss": loss, "accuracy": acc}
+        metrics: Dict[str, Any] = {"loss": loss, "accuracy": acc}
+        if grad_norms:
+            from fall_multimodal_tpu.utils.profiling import grad_norms as _gn
+
+            metrics["grad_norms"] = _gn(grads)
+        return new_state, metrics
 
     return step
 
 
 def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=False,
-                     compute_dtype=None):
-    """Jitted whole-epoch function: (state, data, batch_idx) -> (state, metrics)."""
+                     compute_dtype=None, grad_norms=False):
+    """Jitted whole-epoch function: (state, data, batch_idx) -> (state, metrics).
+
+    With ``grad_norms=True`` the returned metrics carry a ``"grad_norms"``
+    subtree of per-parameter per-step (steps,) arrays — accumulated on
+    device in the scan stack and flushed to host once per epoch (the
+    reference wrote each step's scalars to TensorBoard synchronously,
+    ``main.py:84-89,129``; one device->host flush per epoch is the TPU-sane
+    equivalent)."""
     train_step = make_train_step(
-        model, optimizer, label_smoothing, softmax_before_ce, compute_dtype
+        model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
+        grad_norms=grad_norms,
     )
 
     @jax.jit
@@ -128,7 +142,12 @@ def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=Fa
             return train_step(st, gather_batch(data, idx))
 
         state, metrics = jax.lax.scan(body, state, batch_idx)
-        return state, jax.tree.map(jnp.mean, metrics)
+        # scalars are epoch means; per-step grad norms stay per-step
+        per_step = metrics.pop("grad_norms", None)
+        out = jax.tree.map(jnp.mean, metrics)
+        if per_step is not None:
+            out["grad_norms"] = per_step
+        return state, out
 
     return epoch
 
@@ -230,6 +249,9 @@ def fit(
     initial_best_acc: float = -1.0,
     initial_best_state: Optional[TrainState] = None,
     nan_guard: bool = True,
+    grad_norms: bool = False,
+    step_metrics_callback=None,
+    lr_fn=None,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -238,7 +260,8 @@ def fit(
     -test. Host work per epoch is one shuffle-key fold and a few scalars.
     """
     train_epoch = make_train_epoch(
-        model, optimizer, label_smoothing, softmax_before_ce, compute_dtype
+        model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
+        grad_norms=grad_norms,
     )
     eval_epoch = make_eval_epoch(model, num_classes, label_smoothing, softmax_before_ce)
 
@@ -262,6 +285,19 @@ def fit(
         state, tm = train_epoch(state, splits["train"], idx)
         val = evaluate(eval_epoch, state, splits["valid"], batch_size)
         dt = time.perf_counter() - t0
+
+        per_step_norms = tm.pop("grad_norms", None)
+        if per_step_norms is not None and step_metrics_callback is not None:
+            # one device->host flush per epoch; emit per-step scalars with
+            # global step numbers (reference main.py:84-89,129)
+            host = {k: np.asarray(v) for k, v in per_step_norms.items()}
+            steps_this_epoch = len(next(iter(host.values())))
+            base = (epoch_i - start_epoch) * steps_this_epoch
+            for i in range(steps_this_epoch):
+                step_metrics_callback(
+                    base + i,
+                    {f"grad_norm/{k}": float(v[i]) for k, v in host.items()},
+                )
 
         train_loss = float(tm["loss"])
         if nan_guard and not np.isfinite(train_loss):
@@ -287,12 +323,15 @@ def fit(
                 checkpointer.save_best(state, epoch_i, best_acc)
 
         if metrics_callback is not None:
-            metrics_callback(epoch_i, {
+            scalars = {
                 "train_loss": float(tm["loss"]),
                 "train_accuracy": float(tm["accuracy"]),
                 "val_loss": val.loss,
                 "val_accuracy": val.accuracy,
-            })
+            }
+            if lr_fn is not None:
+                scalars["lr"] = float(lr_fn(int(state.step) - 1))
+            metrics_callback(epoch_i, scalars)
         if logger and (epoch_i % log_every == 0 or epoch_i == epochs):
             logger.info(
                 f"epoch {epoch_i}/{epochs} "

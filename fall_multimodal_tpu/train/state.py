@@ -29,7 +29,11 @@ def create_train_state(
     sample_skeleton: jnp.ndarray,
     sample_sensor: jnp.ndarray,
     seed: int = 42,
+    weight_init: str = "torch",
 ) -> TrainState:
+    """``weight_init``: "torch" (reference from-scratch init — torch module
+    defaults), "init_param" (the reference's musa_model.py:408-420 helper),
+    or "flax" (lecun_normal defaults)."""
     init_key, run_key = jax.random.split(jax.random.key(seed))
     # jit the init: eager linen init dispatches every parameter op
     # individually (minutes over a remote-TPU tunnel); one compiled program
@@ -37,6 +41,12 @@ def create_train_state(
     init_fn = jax.jit(lambda k, s, sn: model.init(k, s, sn, train=False))
     variables = init_fn(init_key, sample_skeleton, sample_sensor)
     params = variables["params"]
+    if weight_init != "flax":
+        from fall_multimodal_tpu.models.init import reinitialize
+
+        params = jax.jit(
+            lambda p: reinitialize(p, seed=seed, scheme=weight_init)
+        )(params)
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
         params=params,

@@ -199,3 +199,61 @@ def test_epoch_indices_no_drop():
     idx = epoch_batch_indices(jax.random.key(1), 70, 16, drop_last=False)
     assert idx.shape == (5, 16)
     assert set(np.asarray(idx).ravel().tolist()) == set(range(70))
+
+
+class TestStratifiedKFold:
+    """Sample-level stratified k-fold (notebook KFold_load_dataset,
+    GSTCAN_HAR_conv_10kfold.ipynb:5 — sklearn StratifiedKFold semantics,
+    re-derived without sklearn)."""
+
+    def test_hand_checked_tiny_fixture(self):
+        from fall_multimodal_tpu.data import stratified_kfold_indices
+
+        labels = np.array([0, 0, 0, 0, 1, 1])
+        folds = stratified_kfold_indices(labels, n_folds=2, seed=0)
+        assert len(folds) == 2
+        for fold in folds:
+            test_labels = labels[fold["test"]]
+            assert (test_labels == 0).sum() == 2
+            assert (test_labels == 1).sum() == 1
+            np.testing.assert_array_equal(fold["valid"], fold["test"])
+            # partition: train and test disjoint and complete
+            both = np.concatenate([fold["train"], fold["test"]])
+            np.testing.assert_array_equal(np.sort(both), np.arange(6))
+
+    def test_folds_partition_and_balance(self):
+        from fall_multimodal_tpu.data import stratified_kfold_indices
+
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 5, size=237)
+        n_folds = 10
+        folds = stratified_kfold_indices(labels, n_folds=n_folds, seed=42)
+        all_test = np.concatenate([f["test"] for f in folds])
+        np.testing.assert_array_equal(np.sort(all_test), np.arange(237))
+        for c in range(5):
+            per_fold = [(labels[f["test"]] == c).sum() for f in folds]
+            assert max(per_fold) - min(per_fold) <= 1, (c, per_fold)
+
+    def test_soft_labels_and_determinism(self):
+        from fall_multimodal_tpu.data import stratified_kfold_indices
+
+        rng = np.random.default_rng(1)
+        hard = rng.integers(0, 3, size=60)
+        soft = np.eye(3, dtype=np.float32)[hard] * 0.9
+        f1 = stratified_kfold_indices(soft, n_folds=3, seed=7)
+        f2 = stratified_kfold_indices(hard, n_folds=3, seed=7)
+        for a, b in zip(f1, f2):
+            np.testing.assert_array_equal(a["test"], b["test"])
+
+    def test_kfold_datasets_stratify_flag(self):
+        from fall_multimodal_tpu.data import kfold_datasets, make_synthetic
+
+        data = make_synthetic(n_windows=90, num_classes=3, sensor_dim=4, seed=0)
+        folds = kfold_datasets(data, n_folds=3, seed=0, stratify=True)
+        assert len(folds) == 3
+        global_dist = data.labels.argmax(-1)
+        for fold in folds:
+            d = fold["test"].labels.argmax(-1)
+            for c in range(3):
+                expect = (global_dist == c).sum() / 3
+                assert abs((d == c).sum() - expect) <= 1

@@ -57,10 +57,43 @@ def test_parallel_step_matches_single_device(setup):
     s2, m2 = par(state_r, batch_s)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # RMSprop's step-1 normalization g/(sqrt(0.01 g^2)+eps) is sign-sensitive
+    # for near-zero gradients, so psum-vs-serial reduction-order noise is
+    # amplified ~lr*10x in a few elements; the tight equivalence claim is
+    # checked on SGD below.
     p1 = jax.tree.leaves(s1.params)
     p2 = jax.tree.leaves(s2.params)
     for a, b in zip(p1, p2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_parallel_step_matches_single_device_sgd_exact(setup):
+    """With SGD (no adaptive normalization) the DP step must match the
+    single-device step to float32 reduction noise — this pins the psum
+    gradient equivalence itself."""
+    import optax
+
+    cfg, model, _, _, dev = setup
+    optimizer = optax.sgd(1e-2)
+    state = create_train_state(
+        model, optimizer, dev.features[:2], dev.sensors[:2], seed=7
+    )
+    mesh = make_mesh(8)
+
+    from fall_multimodal_tpu.data.pipeline import gather_batch
+    from fall_multimodal_tpu.parallel import batch_sharded
+    from fall_multimodal_tpu.train.loop import make_train_step
+
+    idx = jnp.arange(32)
+    batch = gather_batch(dev, idx)
+    s1, m1 = jax.jit(make_train_step(model, optimizer))(state, batch)
+    par = make_parallel_train_step(model, optimizer, mesh)
+    s2, m2 = par(
+        replicate_state(state, mesh), jax.device_put(batch, batch_sharded(mesh))
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_parallel_epoch_runs_and_learns(setup):
@@ -91,10 +124,11 @@ def test_parallel_epoch_matches_serial_epoch(setup):
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
     # RMSprop's 1/sqrt(s) amplifies accumulation-order noise early in
-    # training; a handful of elements at ~1e-4 after a full epoch is FP
-    # reassociation, not divergence.
+    # training (sign-sensitive for near-zero gradients); a handful of
+    # elements at ~1e-3 after a full epoch is FP reassociation, not
+    # divergence — the exact-equivalence claim is pinned by the SGD test.
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
 def test_sharded_data_storage_matches_replicated(setup):

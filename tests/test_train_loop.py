@@ -104,3 +104,33 @@ def test_evaluate_confusion_consistency():
     assert res.confusion.sum() == splits["valid"].n
     assert 0.0 <= res.accuracy <= 1.0
     assert res.loss > 0
+
+
+def test_grad_norm_observability():
+    """VERDICT r1 item 5: per-parameter per-step gradient norms accumulate
+    in the scan carry and flush per epoch through step_metrics_callback
+    (reference main.py:84-89,129)."""
+    from fall_multimodal_tpu.train.cv import run_fold
+
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    splits = _device_splits(num_classes=3, sensor_dim=6, n=96)
+    seen = []
+
+    def step_cb(step, scalars):
+        seen.append((step, scalars))
+
+    result = run_fold(cfg, splits, epochs=2, grad_norms=True,
+                      step_metrics_callback=step_cb)
+    assert len(result.history["train_loss"]) == 2
+    assert seen, "per-step grad norms must reach the callback"
+    steps = [s for s, _ in seen]
+    assert steps == sorted(steps) and len(set(steps)) == len(steps)
+    _, scalars = seen[0]
+    names = list(scalars)
+    assert all(n.startswith("grad_norm/") for n in names)
+    # one scalar per parameter leaf, all finite and not all zero
+    import numpy as np
+    vals = np.array([v for _, sc in seen for v in sc.values()])
+    assert np.isfinite(vals).all() and (vals > 0).any()
+    # epoch-level scalars unaffected by the grad_norms side channel
+    assert np.isfinite(result.history["train_loss"]).all()
