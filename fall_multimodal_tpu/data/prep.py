@@ -167,6 +167,109 @@ def extract_pose_csv(
     return pd.DataFrame(rows)
 
 
+# The reference's exact 13-joint pose-CSV schema (har_create3.py:45-50).
+POSE_JOINT_NAMES: Tuple[str, ...] = (
+    "Nose", "LShoulder", "RShoulder", "LElbow", "RElbow", "LWrist", "RWrist",
+    "LHip", "RHip", "LKnee", "RKnee", "LAnkle", "RAnkle",
+)
+POSE_CSV_COLUMNS: Tuple[str, ...] = tuple(
+    ["video", "frame"]
+    + [f"{j}_{ax}" for j in POSE_JOINT_NAMES for ax in ("x", "y", "s")]
+    + ["label"]
+)
+
+
+class PersonDetector(Protocol):
+    """Person-detection stage: frame -> (K, >=4) xyxy boxes (best first) or
+    None when nothing is detected (the reference's TinyYOLOv3_onecls,
+    ``har_create3.py:37,130-135``)."""
+
+    def __call__(self, frame: np.ndarray) -> Optional[np.ndarray]: ...
+
+
+class PoseEstimatorProtocol(Protocol):
+    """Pose stage: (frame, xyxy box) -> dict with ``keypoints`` (13, 2) and
+    ``kp_score`` (13, 1), or None (the reference's SPPE_FastPose.predict,
+    ``har_create3.py:42,142-144``)."""
+
+    def __call__(
+        self, frame: np.ndarray, box: np.ndarray
+    ) -> Optional[Dict[str, np.ndarray]]: ...
+
+
+def run_pose_extraction(
+    frames: Sequence[np.ndarray],
+    detector: PersonDetector,
+    pose_estimator: PoseEstimatorProtocol,
+    video_name: str,
+    labels: Optional[Sequence[object]] = None,
+    frame_size: Optional[Tuple[float, float]] = None,
+    pick: str = "first",
+    box_pad: int = 5,
+    save_path: Optional[str] = None,
+):
+    """The per-frame detection+pose driver of ``har_create3.py:64-186``.
+
+    Per frame: detect persons; a miss yields a zero box and therefore an
+    all-NaN keypoint row (``bb = np.zeros(4)`` -> ``bb.any() == 0`` -> no
+    pose call). A hit picks one detection (``pick="first"`` — the
+    reference's ``detect(frame)[0, :4]``, its detector sorts by score —
+    or ``"largest"`` by box area for unsorted detectors), pads the box by
+    ``box_pad`` px clipped to the frame, runs the pose estimator, and
+    normalizes keypoints by frame size into [0, 1]. Rows use the
+    reference's exact 41-column CSV schema (1-based frame index); with
+    ``save_path`` the per-video table is appended reference-style (header
+    written only when the file is new, ``har_create3.py:181-185``).
+    """
+    import pandas as pd
+
+    n_joints = len(POSE_JOINT_NAMES)
+    rows = []
+    for i, frame in enumerate(frames):
+        width, height = (
+            frame_size
+            if frame_size is not None
+            else (frame.shape[1], frame.shape[0])
+        )
+        detections = detector(frame)
+        if detections is None or len(detections) == 0:
+            bb = np.zeros(4, dtype=int)
+        else:
+            detections = np.asarray(detections)
+            if pick == "largest":
+                areas = (detections[:, 2] - detections[:, 0]) * (
+                    detections[:, 3] - detections[:, 1]
+                )
+                best = int(np.argmax(areas))
+            else:
+                best = 0
+            bb = detections[best, :4].astype(int)
+        bb = bb.copy()
+        bb[:2] = np.maximum(0, bb[:2] - box_pad)
+        if bb[2:].any():
+            bb[2:] = np.minimum([width, height], bb[2:] + box_pad)
+
+        result = pose_estimator(frame, bb) if bb.any() else None
+        label = labels[i] if labels is not None else 0
+        if result is not None:
+            pts = normalize_points_with_size(
+                np.asarray(result["keypoints"], dtype=np.float64), width, height
+            )
+            scores = np.asarray(result["kp_score"], dtype=np.float64).reshape(-1, 1)
+            pt_norm = np.concatenate([pts, scores], axis=1)
+            rows.append([video_name, i + 1, *pt_norm.flatten().tolist(), label])
+        else:
+            rows.append([video_name, i + 1, *([np.nan] * (n_joints * 3)), label])
+
+    df = pd.DataFrame(rows, columns=list(POSE_CSV_COLUMNS))
+    if save_path:
+        if os.path.exists(save_path):
+            df.to_csv(save_path, mode="a", header=False, index=False)
+        else:
+            df.to_csv(save_path, mode="w", index=False)
+    return df
+
+
 def normalize_sensor_csv(path_or_df, accel_columns=HARUP_ACCEL_COLUMNS):
     """Repair a HAR-UP sensor CSV: collapse the 2-row header into
     ``Site_measure`` names and keep the accelerometer channels

@@ -34,9 +34,11 @@ def scale_pose(xy: np.ndarray) -> np.ndarray:
     """Min-max normalize each frame's keypoints to [-1, 1] per axis.
 
     ``xy``: (..., V, 2) — any leading batch/time dims; NaNs are ignored in
-    the min/max (reference uses nanmin/nanmax). Frames where min == max
-    produce NaN in the reference (0/0); we keep that behavior only when the
-    input already contained NaN, otherwise emit 0 to stay finite.
+    the min/max (reference uses nanmin/nanmax) and preserved in the output
+    wherever the axis span is nonzero. Where a frame's axis span is zero the
+    reference produces all-NaN (0/0, ``har_create4.py:50``); we emit 0.0 for
+    that axis instead so downstream jit code stays finite — intentional
+    divergence, golden-locked in ``test_scale_pose_degenerate_frames_golden``.
     """
     lo = np.nanmin(xy, axis=-2, keepdims=True)
     hi = np.nanmax(xy, axis=-2, keepdims=True)

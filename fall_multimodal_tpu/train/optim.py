@@ -56,39 +56,52 @@ def build_schedule(
     if cfg.type is None:
         return base_lr
 
+    def warmup_lr(epoch):
+        # timm warmup: lr = warmup_lr_init + t * (base - init) / warmup_t
+        return cfg.warmup_lr_init + epoch * (base_lr - cfg.warmup_lr_init) / max(
+            cfg.warmup_t, 1
+        )
+
     if cfg.type == "cosine":
-        # timm CosineLRScheduler semantics: linear warmup from
-        # warmup_lr_init over warmup_t epochs, then cosine to lr_min at
-        # t_initial epochs.
+        # timm CosineLRScheduler (t_in_epochs=True, cycle_limit=1,
+        # warmup_prefix=False — the reference's exact construction,
+        # Fall_2_Spatial_Temporal_SR/optimizer.py:32): linear warmup for
+        # t < warmup_t, then cosine evaluated at the UNSHIFTED epoch index
+        # (warmup_prefix=False does not subtract warmup_t), lr_min once the
+        # single cycle ends at t_initial.
         def schedule(step):
             epoch = jnp.floor(step / steps_per_epoch)
-            warm_frac = jnp.clip(epoch / jnp.maximum(cfg.warmup_t, 1), 0.0, 1.0)
-            warm_lr = cfg.warmup_lr_init + warm_frac * (base_lr - cfg.warmup_lr_init)
-            t = jnp.clip(
-                (epoch - cfg.warmup_t) / jnp.maximum(cfg.t_initial - cfg.warmup_t, 1),
-                0.0,
-                1.0,
+            cos_lr = cfg.lr_min + 0.5 * (base_lr - cfg.lr_min) * (
+                1 + jnp.cos(jnp.pi * epoch / cfg.t_initial)
             )
-            cos_lr = cfg.lr_min + 0.5 * (base_lr - cfg.lr_min) * (1 + jnp.cos(jnp.pi * t))
-            return jnp.where(epoch < cfg.warmup_t, warm_lr, cos_lr)
+            cos_lr = jnp.where(epoch < cfg.t_initial, cos_lr, cfg.lr_min)
+            return jnp.where(epoch < cfg.warmup_t, warmup_lr(epoch), cos_lr)
 
         return schedule
 
     if cfg.type == "step":
+        # timm StepLRScheduler: base * decay_rate ** (t // decay_t), with
+        # the same linear warmup head.
         def schedule(step):
             epoch = jnp.floor(step / steps_per_epoch)
             n_decays = jnp.floor(epoch / jnp.maximum(cfg.t_initial, 1))
-            return base_lr * (cfg.decay_rate ** n_decays)
+            lr = base_lr * (cfg.decay_rate ** n_decays)
+            return jnp.where(epoch < cfg.warmup_t, warmup_lr(epoch), lr) \
+                if cfg.warmup_t > 0 else lr
 
         return schedule
 
     if cfg.type == "multistep":
+        # timm MultiStepLRScheduler: base * rate ** bisect_right(decay_t, t)
+        # ((epoch >= b).sum() == bisect_right for sorted boundaries).
         boundaries = jnp.asarray(cfg.decay_steps, dtype=jnp.float32)
 
         def schedule(step):
             epoch = jnp.floor(step / steps_per_epoch)
             n_decays = (epoch >= boundaries).sum()
-            return base_lr * (cfg.decay_rate ** n_decays)
+            lr = base_lr * (cfg.decay_rate ** n_decays)
+            return jnp.where(epoch < cfg.warmup_t, warmup_lr(epoch), lr) \
+                if cfg.warmup_t > 0 else lr
 
         return schedule
 

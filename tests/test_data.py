@@ -257,3 +257,35 @@ class TestStratifiedKFold:
             for c in range(3):
                 expect = (global_dist == c).sum() / 3
                 assert abs((d == c).sum() - expect) <= 1
+
+
+def test_scale_pose_degenerate_frames_golden():
+    """VERDICT r1 item 10: lock in the documented span==0 divergence against
+    freshly generated reference output (har_create4.py:40-51).
+
+    Reference: a constant axis gives 0/0 = NaN for the whole column (and a
+    NaN joint stays NaN). Ours: the constant axis becomes 0.0 everywhere —
+    intentional, so downstream jit code stays finite; NaN joints in
+    non-degenerate axes are preserved identically.
+    """
+    g = np.load(FIXTURES)
+    x = g["scale_degen_in"]
+    ref = g["scale_degen_ref_out"]
+    from fall_multimodal_tpu.data import scale_pose
+
+    ours = scale_pose(x.copy())
+
+    # frame 0: fully regular -> exact agreement
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-12)
+    # frame 1: NaN joint, spans > 0 -> NaNs in the same places, values match
+    assert np.array_equal(np.isnan(ours[1]), np.isnan(ref[1]))
+    m = ~np.isnan(ref[1])
+    np.testing.assert_allclose(ours[1][m], ref[1][m], atol=1e-12)
+    # frame 2: both axes constant -> reference all-NaN, ours all-zero
+    assert np.isnan(ref[2]).all()
+    np.testing.assert_array_equal(ours[2], 0.0)
+    # frame 3: x constant, y regular -> reference x-NaN / ours x-zero,
+    # y agrees exactly
+    assert np.isnan(ref[3][:, 0]).all()
+    np.testing.assert_array_equal(ours[3][:, 0], 0.0)
+    np.testing.assert_allclose(ours[3][:, 1], ref[3][:, 1], atol=1e-12)

@@ -149,3 +149,109 @@ def test_cross_subject_folds():
     for f in folds:
         assert set(f["train"]) & set(f["test"]) == set()
         assert len(f["train"]) + len(f["test"]) == 10
+
+
+class TestPoseExtractionDriver:
+    """har_create3.py:64-186 driver loop (VERDICT r1 item 9): detection-miss
+    handling, person pick, box padding, frame-size normalization, CSV
+    schema, per-video append; round-trips into build_windowed_dataset."""
+
+    @staticmethod
+    def _stub_stages(miss_frames=(), n_joints=13, w=320, h=240):
+        def detector(frame):
+            i = int(frame[0, 0, 0])  # frame index smuggled in pixel 0
+            if i in miss_frames:
+                return None
+            # two detections: first small (score-sorted winner), second huge
+            return np.array([[10, 20, 110, 220, 0.9], [0, 0, 319, 239, 0.3]])
+
+        def pose(frame, box):
+            i = int(frame[0, 0, 0])
+            x = np.linspace(box[0], box[2], n_joints)
+            y = np.linspace(box[1], box[3], n_joints)
+            kps = np.stack([x, y], axis=1) + i  # frame-dependent
+            return {"keypoints": kps, "kp_score": np.full((n_joints, 1), 0.9)}
+
+        return detector, pose
+
+    def _frames(self, n, w=320, h=240):
+        frames = []
+        for i in range(n):
+            f = np.zeros((h, w, 3), np.uint8)
+            f[0, 0, 0] = i
+            frames.append(f)
+        return frames
+
+    def test_schema_and_normalization(self):
+        from fall_multimodal_tpu.data.prep import (
+            POSE_CSV_COLUMNS,
+            run_pose_extraction,
+        )
+
+        detector, pose = self._stub_stages()
+        df = run_pose_extraction(
+            self._frames(4), detector, pose, "vid_a.avi",
+            labels=[1, 1, 2, 2],
+        )
+        assert list(df.columns) == list(POSE_CSV_COLUMNS)
+        assert list(df["frame"]) == [1, 2, 3, 4]  # 1-based as the reference
+        # normalized into [0,1] by frame size (box padded by 5: 5..115)
+        assert df["Nose_x"].iloc[0] == pytest.approx(5 / 320)
+        assert df["RAnkle_y"].iloc[0] == pytest.approx(225 / 240)
+        assert (df["Nose_s"] == 0.9).all()
+        assert list(df["label"]) == [1, 1, 2, 2]
+
+    def test_detection_miss_yields_nan_row(self):
+        from fall_multimodal_tpu.data.prep import run_pose_extraction
+
+        detector, pose = self._stub_stages(miss_frames={1})
+        df = run_pose_extraction(
+            self._frames(3), detector, pose, "v", labels=[0, 0, 0]
+        )
+        joint_cols = [c for c in df.columns if c.endswith(("_x", "_y", "_s"))]
+        assert df.loc[1, joint_cols].isna().all()
+        assert not df.loc[0, joint_cols].isna().any()
+
+    def test_pick_largest(self):
+        from fall_multimodal_tpu.data.prep import run_pose_extraction
+
+        detector, pose = self._stub_stages()
+        df = run_pose_extraction(
+            self._frames(1), detector, pose, "v", pick="largest"
+        )
+        # the huge box (area 319*239) wins; its left edge is 0 (pad clipped)
+        assert df["Nose_x"].iloc[0] == pytest.approx(0.0)
+
+    def test_per_video_append(self, tmp_path):
+        from fall_multimodal_tpu.data.prep import run_pose_extraction
+
+        detector, pose = self._stub_stages()
+        out = str(tmp_path / "pose.csv")
+        run_pose_extraction(self._frames(2), detector, pose, "a",
+                            labels=[0, 0], save_path=out)
+        run_pose_extraction(self._frames(3), detector, pose, "b",
+                            labels=[1, 1, 1], save_path=out)
+        df = pd.read_csv(out)
+        assert len(df) == 5
+        assert list(df["video"].unique()) == ["a", "b"]
+
+    def test_roundtrip_to_windowed_dataset(self):
+        """frames -> pose CSV rows -> build_windowed_dataset (the full L0
+        chain on a synthetic sequence)."""
+        from fall_multimodal_tpu.data.prep import (
+            build_windowed_dataset,
+            run_pose_extraction,
+        )
+
+        detector, pose = self._stub_stages(miss_frames={7})
+        n = 75
+        labels = [0] * 40 + [1] * 35
+        df = run_pose_extraction(
+            self._frames(n), detector, pose, "vid0", labels=labels
+        )
+        data = build_windowed_dataset(df, n_frames=30)
+        # one NaN row drops frame 8; remaining segments still window
+        assert len(data) > 0
+        assert data.features.shape[1:] == (30, 14, 3)  # center joint added
+        assert data.labels.shape[1] == 2
+        assert np.isfinite(data.features).all()

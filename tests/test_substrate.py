@@ -170,18 +170,86 @@ def test_rmsprop_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
 
 
-def test_cosine_schedule_shape():
+def test_cosine_schedule_matches_timm_trajectory():
+    """Exact timm CosineLRScheduler values (t_in_epochs=True, cycle_limit=1,
+    warmup_prefix=False — the reference construction, optimizer.py:32).
+    Expected literals hand-computed from timm's published update rule:
+
+      t < warmup_t:  lr = init + t * (base - init) / warmup_t
+      t < t_initial: lr = lr_min + 0.5*(base - lr_min)*(1 + cos(pi*t/t_initial))
+      else:          lr = lr_min
+
+    Note warmup_prefix=False: the cosine at t=warmup_t is evaluated at the
+    UNSHIFTED t (so it re-enters below base_lr), the detail VERDICT r1
+    flagged as untested.
+    """
+    import math
+
+    base, t_init, lr_min, w_t, w_init = 1e-3, 100, 1e-5, 5, 1e-4
     sched = build_schedule(
-        SchedulerConfig(type="cosine", t_initial=100, lr_min=1e-5, warmup_t=5, warmup_lr_init=1e-4),
-        base_lr=1e-3,
+        SchedulerConfig(type="cosine", t_initial=t_init, lr_min=lr_min,
+                        warmup_t=w_t, warmup_lr_init=w_init),
+        base_lr=base,
         steps_per_epoch=10,
     )
-    assert float(sched(0)) == pytest.approx(1e-4)
-    assert float(sched(5 * 10)) == pytest.approx(1e-3)
-    assert float(sched(100 * 10)) == pytest.approx(1e-5, rel=1e-3)
-    # monotone decay after warmup
-    vals = [float(sched(e * 10)) for e in range(5, 101, 5)]
-    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    def timm_expected(t):
+        if t < w_t:
+            return w_init + t * (base - w_init) / w_t
+        if t < t_init:
+            return lr_min + 0.5 * (base - lr_min) * (1 + math.cos(math.pi * t / t_init))
+        return lr_min
+
+    for epoch in [0, 1, 2, 4, 5, 6, 10, 25, 50, 75, 99, 100, 120, 500]:
+        for step_in_epoch in (0, 3, 9):
+            got = float(sched(epoch * 10 + step_in_epoch))
+            assert got == pytest.approx(timm_expected(epoch), rel=1e-5), (
+                epoch, step_in_epoch
+            )
+    # spot literals: epoch 5 is cosine at t=5 (not base_lr!)
+    assert float(sched(50)) == pytest.approx(
+        1e-5 + 0.5 * (1e-3 - 1e-5) * (1 + math.cos(math.pi * 0.05)), rel=1e-6
+    )
+    assert float(sched(500)) == pytest.approx(5.05e-4, rel=1e-4)   # epoch 50
+    assert float(sched(1000)) == pytest.approx(1e-5)               # cycle end
+
+
+def test_step_schedule_matches_timm_trajectory():
+    """timm StepLRScheduler: base * decay_rate ** (t // decay_t), with the
+    linear warmup head when warmup_t > 0."""
+    sched = build_schedule(
+        SchedulerConfig(type="step", t_initial=30, decay_rate=0.1,
+                        warmup_t=0, warmup_lr_init=0.0),
+        base_lr=1e-2,
+        steps_per_epoch=4,
+    )
+    expect = {0: 1e-2, 29: 1e-2, 30: 1e-3, 59: 1e-3, 60: 1e-4, 90: 1e-5}
+    for epoch, lr in expect.items():
+        assert float(sched(epoch * 4)) == pytest.approx(lr, rel=1e-6), epoch
+
+    warm = build_schedule(
+        SchedulerConfig(type="step", t_initial=30, decay_rate=0.1,
+                        warmup_t=3, warmup_lr_init=1e-4),
+        base_lr=1e-2,
+        steps_per_epoch=1,
+    )
+    assert float(warm(0)) == pytest.approx(1e-4)
+    assert float(warm(1)) == pytest.approx(1e-4 + (1e-2 - 1e-4) / 3)
+    assert float(warm(3)) == pytest.approx(1e-2)
+
+
+def test_multistep_schedule_matches_timm_trajectory():
+    """timm MultiStepLRScheduler: base * rate ** bisect_right(decay_t, t)
+    — the boundary epoch itself already decays."""
+    sched = build_schedule(
+        SchedulerConfig(type="multistep", decay_steps=(30, 60, 80),
+                        decay_rate=0.1, warmup_t=0),
+        base_lr=1.0,
+        steps_per_epoch=2,
+    )
+    expect = {0: 1.0, 29: 1.0, 30: 0.1, 59: 0.1, 60: 0.01, 80: 0.001, 200: 0.001}
+    for epoch, lr in expect.items():
+        assert float(sched(epoch * 2)) == pytest.approx(lr, rel=1e-5), epoch
 
 
 def test_all_optimizers_build():
