@@ -17,8 +17,12 @@ Measurement notes (v5e):
   before device execution completes — every timing here synchronizes by
   fetching the loss VALUE to host instead. (Un-synced timings inflate
   throughput by >100x; early round-1 numbers were corrected for this.)
-* batch 4096 crashes this toolchain's remote compile helper (not an HBM
-  limit), so 2048 is the practical ceiling.
+* batch 4096 compiles as of round 2 (the round-1 crash was transient) but
+  8192 still crashes the remote compile helper; throughput is flat across
+  1024-4096, 2048 stays the default.
+* round 2: the GCN runs in dense mode by default (adjacency folded into
+  the weights, models/layers.py GraphConv.dense_mode) — measured +49%
+  (9.15k -> 13.6k windows/s) on the HBM-bound step.
 """
 
 from __future__ import annotations

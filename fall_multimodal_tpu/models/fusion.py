@@ -37,6 +37,8 @@ class STGCANClassifier(nn.Module):
     graph_strategy: str = "spatial"
     dropout: float = 0.0
     stages: Sequence[Tuple[int, int, bool]] = STGCAN_STAGES
+    remat: bool = False
+    dense_gcn: bool = True
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -46,6 +48,8 @@ class STGCANClassifier(nn.Module):
             num_classes=self.num_classes,
             dropout=self.dropout,
             stages=self.stages,
+            remat=self.remat,
+            dense_gcn=self.dense_gcn,
         )(skeleton, train=train)
 
 
@@ -55,6 +59,8 @@ class TwoStreamSTGCAN(nn.Module):
     graph_strategy: str = "spatial"
     dropout: float = 0.0
     stages: Sequence[Tuple[int, int, bool]] = STGCAN_STAGES
+    remat: bool = False
+    dense_gcn: bool = True
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -64,6 +70,8 @@ class TwoStreamSTGCAN(nn.Module):
             graph_strategy=self.graph_strategy,
             dropout=self.dropout,
             stages=self.stages,
+            remat=self.remat,
+            dense_gcn=self.dense_gcn,
         )
         pts = STGCANBackbone(name="pts_stream", **kw)(skeleton, train=train)
         mos = STGCANBackbone(name="mot_stream", **kw)(mot, train=train)
@@ -79,6 +87,8 @@ class ThreeStreamGSTCAN(nn.Module):
     sensor_encoder: str = "bilstm"  # bilstm (packaged Gen-2) | cnn_bilstm (notebook)
     dropout: float = 0.0
     stages: Sequence[Tuple[int, int, bool]] = STGCAN_STAGES
+    remat: bool = False
+    dense_gcn: bool = True
 
     @nn.compact
     def __call__(self, skeleton, sensor, train: bool = False):
@@ -88,6 +98,8 @@ class ThreeStreamGSTCAN(nn.Module):
             graph_strategy=self.graph_strategy,
             dropout=self.dropout,
             stages=self.stages,
+            remat=self.remat,
+            dense_gcn=self.dense_gcn,
         )
         pts = STGCANBackbone(name="pts_stream", **kw)(skeleton, train=train)
         mos = STGCANBackbone(name="mot_stream", **kw)(mot, train=train)

@@ -70,6 +70,28 @@ class TemporalConv(nn.Module):
         )(x)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact names, shapes, and default
+    initializers — lets GraphConv's dense mode reuse factored-mode params."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
 class GraphConv(nn.Module):
     """Spatial graph convolution: 1x1 channel mix to K partitions, then the
     A-contraction (reference ``Model/stgcan.py:50-56``).
@@ -78,18 +100,48 @@ class GraphConv(nn.Module):
     out[n,t,w,c] = sum_{k,v} mix(x)[n,t,v,k,c] * A[k,v,w]; the channel mix is
     one Dense producing K*C_out features (k-major, matching the torch
     ``view(n, K, C', t, v)`` split).
+
+    ``dense_mode`` computes the mathematically identical single matmul
+    ``(N·T, V·C_in) @ U`` with ``U[(v,ci),(w,co)] = sum_k A[k,v,w] W[ci,k,co]``
+    folded on the fly from the SAME parameters (checkpoint-compatible).
+    TPU rationale: the train step is HBM-bound at ~82%% of peak BW
+    (experiments/profile_flagship.py) and the factored form writes+reads a
+    K*C_out intermediate (3x the activation) and runs a V=14 contraction
+    that tiles terribly on the 128x128 MXU. The fused matmul has V*C
+    dims (896/1792 at C=64/128 — exact lane multiples), no intermediate,
+    and costs ~V/K = 4.7x more FLOPs — paid from the step's 5x idle-MXU
+    headroom.
     """
 
     features: int
     use_bias: bool = True
+    dense_mode: bool = False  # callers default True on the STGCAN path
 
     @nn.compact
     def __call__(self, x, A):
         k = A.shape[0]
-        y = nn.Dense(self.features * k, use_bias=self.use_bias)(x)
-        n, t, v, _ = y.shape
-        y = y.reshape(n, t, v, k, self.features)
-        return jnp.einsum("ntvkc,kvw->ntwc", y, A.astype(y.dtype))
+        n, t, v, c_in = x.shape
+        if not self.dense_mode:
+            y = nn.Dense(self.features * k, use_bias=self.use_bias)(x)
+            y = y.reshape(n, t, v, k, self.features)
+            return jnp.einsum("ntvkc,kvw->ntwc", y, A.astype(y.dtype))
+
+        # same param names/shapes/init as the nn.Dense above -> both modes
+        # share checkpoints and the ported reference weights
+        kernel, bias = _DenseParams(
+            features=self.features * k, in_features=c_in,
+            use_bias=self.use_bias, name="Dense_0",
+        )()
+        W = kernel.reshape(c_in, k, self.features).astype(x.dtype)
+        U = jnp.einsum("kvw,ikc->viwc", A.astype(x.dtype), W)
+        y = x.reshape(n, t, v * c_in) @ U.reshape(v * c_in, v * self.features)
+        if bias is not None:
+            b_eff = jnp.einsum(
+                "kvw,kc->wc", A.astype(x.dtype),
+                bias.reshape(k, self.features).astype(x.dtype),
+            )
+            y = y + b_eff.reshape(v * self.features)
+        return y.reshape(n, t, v, self.features)
 
 
 class SqueezeExcite(nn.Module):

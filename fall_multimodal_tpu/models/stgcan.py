@@ -48,6 +48,7 @@ class STGCANBlock(nn.Module):
     stride: int = 1
     dropout: float = 0.0
     residual: bool = True
+    dense_gcn: bool = False
 
     @nn.compact
     def __call__(self, x, A, train: bool = False):
@@ -60,7 +61,7 @@ class STGCANBlock(nn.Module):
             res = nn.Dense(self.features, name="res_proj")(x[:, :: self.stride])
             res = BatchNorm(name="res_bn")(res, train=train)
 
-        y = GraphConv(self.features)(x, A)
+        y = GraphConv(self.features, dense_mode=self.dense_gcn)(x, A)
         y = BatchNorm(name="tcn_bn1")(y, train=train)
         y = nn.relu(y)
         y = TemporalConv(self.features, self.temporal_kernel, self.stride)(y)
@@ -82,17 +83,32 @@ class STGCANBackbone(nn.Module):
     stages: Sequence[Tuple[int, int, bool]] = STGCAN_STAGES
     dropout: float = 0.0
     edge_importance: bool = True
+    # Rematerialize each block in the backward pass: the train step is
+    # HBM-bound (~19% MXU at batch 2048, experiments/profile_flagship.py),
+    # so recomputing activations instead of saving them trades idle-MXU
+    # FLOPs for the bottleneck resource.
+    remat: bool = False
+    # One (V*C_in)x(V*C_out) matmul per GCN instead of channel-mix + V=14
+    # einsum (see GraphConv.dense_mode): +49%% train throughput on v5e
+    # (9.15k -> 13.6k windows/s, bf16 batch 2048), numerically identical
+    # (5.6e-9) and checkpoint-compatible. Default on; set False to compare.
+    dense_gcn: bool = True
 
     def setup(self):
         self.A = jnp.asarray(
             build_adjacency(self.graph_layout, self.graph_strategy), jnp.float32
         )
+        block_cls = (
+            nn.remat(STGCANBlock, static_argnums=(3,)) if self.remat
+            else STGCANBlock
+        )
         self.blocks = [
-            STGCANBlock(
+            block_cls(
                 features=ch,
                 stride=st,
                 residual=res,
                 dropout=self.dropout if res else 0.0,
+                dense_gcn=self.dense_gcn,
                 name=f"block{i}",
             )
             for i, (ch, st, res) in enumerate(self.stages)
@@ -114,7 +130,7 @@ class STGCANBackbone(nn.Module):
         y = self.data_bn(x.reshape(n, t, v * c), train=train)
         y = y.reshape(n, t, v, c)
         for block, imp in zip(self.blocks, self.importance):
-            y = block(y, self.A * imp, train=train)
+            y = block(y, self.A * imp, train)
         y = y.mean(axis=(1, 2))  # global average pool over (T, V)
         if self.num_classes is not None:
             y = self.cls(y)

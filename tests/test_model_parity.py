@@ -213,3 +213,27 @@ def test_stgcan_block_train_mode_batch_stats(rng):
     # residual identity (cin == cout, stride 1) then relu
     ref = torch.relu(y + xt)
     np.testing.assert_allclose(ours, to_ntvc(ref.numpy()), atol=5e-5)
+
+
+def test_graphconv_dense_mode_equivalent():
+    """dense_mode folds A into a single (V*Cin)x(V*Cout) matmul
+    (U = sum_k A_k (x) W_k) from the SAME parameters — must match the
+    factored channel-mix + einsum form to float32 association noise, for
+    both expanding and equal-channel shapes, with and without bias."""
+    import jax
+    import jax.numpy as jnp
+
+    from fall_multimodal_tpu.models.layers import GraphConv
+
+    rng = np.random.default_rng(0)
+    for c_in, c_out, use_bias in [(3, 64, True), (64, 64, True), (64, 128, False)]:
+        x = jnp.asarray(rng.normal(size=(2, 5, 14, c_in)), jnp.float32)
+        A = jnp.asarray(rng.normal(size=(3, 14, 14)), jnp.float32)
+        factored = GraphConv(c_out, use_bias=use_bias, dense_mode=False)
+        dense = GraphConv(c_out, use_bias=use_bias, dense_mode=True)
+        variables = factored.init(jax.random.key(0), x, A)
+        y0 = factored.apply(variables, x, A)
+        y1 = dense.apply(variables, x, A)  # same params, different math order
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=2e-5
+        )
