@@ -98,3 +98,75 @@ def test_fused_backbone_matches_flax(rng):
     # XLA-only path must agree too
     fused_xla = FusedBackbone(backbone, variables, use_pallas=False)
     np.testing.assert_allclose(np.asarray(fused_xla(x)), ref, atol=3e-5)
+
+
+class TestFusedBackboneV2:
+    """Whole-backbone single-pallas_call serving kernel (round-2 north
+    star): all 7 blocks + data BN + pool + head fused, C=64 stages padded
+    to 128 for Mosaic lane legality. Interpret-mode tests (CPU); the real
+    v5e numbers live in PARITY.md."""
+
+    def _model_and_vars(self, rng, stages=None):
+        import jax
+
+        from fall_multimodal_tpu.models.stgcan import STGCANBackbone
+
+        kw = {"num_classes": 3}
+        if stages is not None:
+            kw["stages"] = stages
+        model = STGCANBackbone(**kw)
+        x = jnp.asarray(rng.normal(size=(8, 30, 14, 3)), jnp.float32)
+        v = model.init(jax.random.key(0), x[:2], train=False)
+        # non-trivial BN stats + perturbed params so folding is exercised
+        stats = jax.tree.map(
+            lambda a: a + 0.1 * abs(float(rng.normal())), v["batch_stats"]
+        )
+        params = jax.tree.map(
+            lambda a: a + 0.05 * float(rng.normal()), v["params"]
+        )
+        return model, {"params": params, "batch_stats": stats}, x
+
+    def test_full_backbone_matches_flax(self, rng):
+        from fall_multimodal_tpu.ops.pallas.fused_backbone_v2 import (
+            fold_backbone,
+            fused_backbone_forward,
+        )
+
+        model, vv, x = self._model_and_vars(rng)
+        ref = model.apply(vv, x, train=False)
+        fb = fold_backbone(model, vv)
+        got = fused_backbone_forward(x, fb, samples_per_program=4,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_padding_stays_zero_and_batch_tiling(self, rng):
+        """Odd batch sizes fall back to a smaller tile; padded channels must
+        not leak into logits (they are exactly zero by construction)."""
+        from fall_multimodal_tpu.ops.pallas.fused_backbone_v2 import (
+            fold_backbone,
+            fused_backbone_forward,
+        )
+
+        model, vv, x = self._model_and_vars(rng)
+        ref = model.apply(vv, x[:6], train=False)
+        fb = fold_backbone(model, vv)
+        got = fused_backbone_forward(x[:6], fb, samples_per_program=4,
+                                     interpret=True)  # 6 % 4 != 0 -> bn=3
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_short_stage_plan(self, rng):
+        from fall_multimodal_tpu.ops.pallas.fused_backbone_v2 import (
+            fold_backbone,
+            fused_backbone_forward,
+        )
+
+        stages = ((64, 1, False), (128, 2, True))
+        model, vv, x = self._model_and_vars(rng, stages=stages)
+        ref = model.apply(vv, x, train=False)
+        fb = fold_backbone(model, vv)
+        got = fused_backbone_forward(x, fb, samples_per_program=8,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
