@@ -7,21 +7,27 @@ global pool, classifier — in ONE ``pallas_call`` per batch tile: HBM
 traffic is the raw input read, the logits write, and one resident pass
 over the folded weights; every intermediate lives in VMEM.
 
-Mosaic constraints shaped the design (this toolchain rejects C=64 blocks
-with "infer-vector-layout: unsupported shape cast" — the (V, K, 64) minor
-splits are not lane-legal):
+Two Mosaic-shaped design rules (this toolchain rejects sub-128 lane
+shapes: C=64 blocks fail with "infer-vector-layout: unsupported shape
+cast"):
 
-* activations keep the (BN, T, V, C) layout with C on the 128 lanes; all
-  matmuls are (M, C) x (C, C') with leading-dim-only reshapes (the round-1
-  per-block kernel's proven pattern, C>=128 compiles);
-* the three C=64 stages are zero-padded to C=128 inside the folded
-  constants (weights/affines padded with zeros, so padded channels stay
-  exactly zero through ReLU/SE/residual) — ~4x FLOPs on the cheapest
-  third of the network in exchange for lane-legal shapes;
-* eval BatchNorms fold to per-channel affines: data BN into block0's
-  channel-mix rows, tcn_bn2 into the conv taps, res_bn into the residual
-  projection, SE's BN into its first projection; tcn_bn1 stays a (C,)
-  affine because it applies after the adjacency contraction.
+* every stage's channel width is zero-padded to >=128 lanes inside the
+  folded constants, so padded channels stay exactly zero through
+  ReLU/SE/residual;
+* the graph convolution is the DENSE single matmul of the training path
+  (``models/layers.py GraphConv.dense_mode``): the (K, V, V) adjacency
+  folds into the channel-mix weights, ``U[(v,ci),(w,co)] = sum_k
+  A[k,v,w] W[ci,k,co]``, so each block's GCN is one lane-aligned
+  ``(BN*T, V*C) @ (V*C, V*C')`` matmul — no V=14 contraction loop, and
+  the eval data-BN (a per-(v,c) affine) folds straight into block0's U
+  rows. The first unroll-everything kernel generated so much Mosaic IR
+  that the remote compile helper never returned; this one is matmuls +
+  nine temporal taps per block.
+
+Eval BatchNorms fold to per-channel affines: data BN into block0's U,
+tcn_bn2 into the conv taps, res_bn into the residual projection, SE's BN
+into its first projection; tcn_bn1 stays a (C,) affine because it applies
+after the adjacency contraction.
 
 Reference block semantics: ``Model/stgcan.py:138-144``; stage plan
 ``stgcan.py:182-194``.
@@ -46,10 +52,9 @@ _MIN_C = 128  # smallest lane-legal channel width on this toolchain
 class FoldedDenseBlock(NamedTuple):
     """One block's inference constants (BNs folded, channels padded)."""
 
-    A: jnp.ndarray          # (K, V, V) adjacency * edge importance
-    gcn_w: jnp.ndarray      # (Cin_p, K*C_p)  (+data-bn rows for block0)
-    gcn_b: jnp.ndarray      # (K*C_p,)
-    bn1_s: jnp.ndarray      # (C_p,)  applied after the A contraction
+    U: jnp.ndarray          # (V*Cin_p, V*C_p) dense GCN (+data-bn for blk0)
+    bU: jnp.ndarray         # (V*C_p,) position-dependent GCN bias
+    bn1_s: jnp.ndarray      # (C_p,) applied after the GCN matmul
     bn1_t: jnp.ndarray
     tconv_w: jnp.ndarray    # (9, C_p, C_p)   (+bn2 col-scale)
     tconv_b: jnp.ndarray    # (C_p,)          (+bn2)
@@ -95,7 +100,8 @@ def fold_backbone(backbone, variables: Dict[str, Any],
         return fold_bn(inner_p["scale"], inner_p["bias"],
                        inner_s["mean"], inner_s["var"])
 
-    dbn_flat = bn_affine(params["data_bn"], stats["data_bn"])     # (V*Cin0,)
+    # data BN: per-(v, c_in0) affine on the raw input
+    dbn_s, dbn_t = bn_affine(params["data_bn"], stats["data_bn"])  # (V*Cin0,)
 
     blocks: List[FoldedDenseBlock] = []
     plan: List[Tuple[int, int, str]] = []
@@ -103,25 +109,29 @@ def fold_backbone(backbone, variables: Dict[str, Any],
     for i, (c, stride, residual) in enumerate(backbone.stages):
         p, s = params[f"block{i}"], stats[f"block{i}"]
         imp = params.get(f"edge_importance_{i}", 1.0)
+        Ai = A * imp
         c_p = max(c, _MIN_C)
         h = c // 4
         h_p = max(c_p // 4, 32)
 
         gcn_w = p["GraphConv_0"]["Dense_0"]["kernel"]      # (cin, K*c)
-        gcn_b = p["GraphConv_0"]["Dense_0"]["bias"]
+        gcn_b = p["GraphConv_0"]["Dense_0"]["bias"]        # (K*c,)
         cin = gcn_w.shape[0]
+        cin_pad = cin_p if i > 0 else _MIN_C
+
+        # dense fold (layers.py GraphConv.dense_mode, channel-padded):
+        # U[(v,ci),(w,co)] = sum_k A[k,v,w] W[ci,k,co]
+        W = _pad_to(gcn_w.reshape(cin, k, c), 2, c_p)      # (cin, K, c_p)
+        U4 = jnp.einsum("kvw,ikc->viwc", Ai, W)            # (V, cin, V, c_p)
+        bU = jnp.einsum(                                   # (V, c_p)
+            "kvw,kc->wc", Ai, _pad_to(gcn_b.reshape(k, c), 1, c_p)
+        )
         if i == 0:
-            # raw input enters the kernel; data BN folds into the mix:
-            # mix((x*s + t)) = x @ (s[:,None]*W) + (t @ W + b). data BN is
-            # over flattened (V, C) positions but the per-position affine is
-            # identical for every v only if... it is NOT -- it is per (v,c).
-            # The channel mix is shared across v, so a per-(v,c) affine
-            # cannot fold into it; apply data BN inside the kernel instead.
-            pass
-        W = gcn_w.reshape(cin, k, c)
-        W = _pad_to(W, 2, c_p)
-        gcn_w_p = W.reshape(cin, k * c_p)
-        gcn_b_p = _pad_to(gcn_b.reshape(k, c), 1, c_p).reshape(k * c_p)
+            # eval data BN folds into U's rows: (x*s + t) @ U = x @ (s*U)
+            # + (t @ U + b); s, t are flat (V*Cin0,) = exactly U's row space.
+            bU = bU + (dbn_t @ U4.reshape(v * cin, v * c_p)).reshape(v, c_p)
+            U4 = U4 * dbn_s.reshape(v, cin)[:, :, None, None]
+        U = _pad_to(U4, 1, cin_pad).reshape(v * cin_pad, v * c_p)
 
         bn1_s, bn1_t = bn_affine(p["tcn_bn1"], s["tcn_bn1"])
         bn2_s, bn2_t = bn_affine(p["tcn_bn2"], s["tcn_bn2"])
@@ -151,11 +161,9 @@ def fold_backbone(backbone, variables: Dict[str, Any],
             res_w = jnp.zeros((cin, c), jnp.float32)
             res_b = jnp.zeros((c,), jnp.float32)
 
-        cin_pad = cin_p if i > 0 else cin
         blocks.append(FoldedDenseBlock(
-            A=A * imp,
-            gcn_w=_pad_to(gcn_w_p, 0, cin_pad).astype(dtype),
-            gcn_b=gcn_b_p.astype(jnp.float32),
+            U=U.astype(dtype),
+            bU=bU.reshape(v * c_p).astype(jnp.float32),
             bn1_s=_pad_to(bn1_s, 0, c_p).astype(jnp.float32),
             bn1_t=_pad_to(bn1_t, 0, c_p).astype(jnp.float32),
             tconv_w=_pad_to(_pad_to(tconv_w, 1, c_p), 2, c_p).astype(dtype),
@@ -179,14 +187,13 @@ def fold_backbone(backbone, variables: Dict[str, Any],
         cls_w=_pad_to(cls["kernel"], 0, cin_p).astype(dtype),
         cls_b=cls["bias"].astype(jnp.float32),
         feat_dim=c_last,
-        # data BN affine rides along as two extra operands
-    ), tuple(a.reshape(v, -1) for a in dbn_flat)
+    )
 
 
-_PER = 14  # refs per block, FoldedDenseBlock field order
+_PER = 13  # refs per block, FoldedDenseBlock field order
 
 
-def _backbone_kernel(x_ref, dbn_s_ref, dbn_t_ref, *refs, BN: int, T0: int,
+def _backbone_kernel(x_ref, *refs, BN: int, T0: int,
                      V: int, plan: Tuple[Tuple[int, int, str], ...]):
     n_blocks = len(plan)
     cls_w_ref = refs[n_blocks * _PER]
@@ -194,35 +201,27 @@ def _backbone_kernel(x_ref, dbn_s_ref, dbn_t_ref, *refs, BN: int, T0: int,
     out_ref = refs[n_blocks * _PER + 2]
 
     x = x_ref[:].astype(jnp.float32)                     # (BN, T, V, Cin0)
-    # data BN: per-(v, c) affine on the raw input (host pre-shaped (V, Cin0))
-    x = x * dbn_s_ref[:] + dbn_t_ref[:]
+    # lane-pad the raw input so block0's flat matmul is 128-lane aligned
+    # (U's padded rows are zero, so the padding never contributes)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _MIN_C - x.shape[-1])))
 
     t = T0
     for i, (c, stride, rmode) in enumerate(plan):
-        (A_ref, gw_ref, gb_ref, b1s_ref, b1t_ref, tw_ref, tb_ref,
+        (U_ref, bU_ref, b1s_ref, b1t_ref, tw_ref, tb_ref,
          sw1_ref, sb1_ref, sw2_ref, sb2_ref, gm_ref,
          rw_ref, rb_ref) = refs[i * _PER:(i + 1) * _PER]
         cin = x.shape[-1]
-        k = A_ref.shape[0]
 
-        # --- channel mix (M, cin) @ (cin, K*C) ---
-        y = jnp.dot(
-            x.reshape(BN * t * V, cin).astype(gw_ref.dtype), gw_ref[:],
+        # --- dense GCN: one (BN*T, V*Cin) @ (V*Cin, V*C) matmul
+        #     (adjacency + data BN folded into U host-side) ---
+        g = jnp.dot(
+            x.reshape(BN * t, V * cin).astype(U_ref.dtype), U_ref[:],
             preferred_element_type=jnp.float32,
-        ) + gb_ref[:]
-        y = y.reshape(BN * t, V, k, c)
-
-        # --- adjacency contraction, V unrolled on the VPU ---
-        A = A_ref[:]
-        g = jnp.zeros((BN * t, V, c), jnp.float32)
-        for kk in range(k):
-            yk = y[:, :, kk, :]
-            for vv in range(V):
-                g += yk[:, vv:vv + 1, :] * A[kk, vv, :][None, :, None]
+        ) + bU_ref[:]
 
         # --- BN1 + ReLU ---
-        g = jnp.maximum(g * b1s_ref[:] + b1t_ref[:], 0.0)
         g = g.reshape(BN, t, V, c)
+        g = jnp.maximum(g * b1s_ref[:] + b1t_ref[:], 0.0)
 
         # --- temporal conv (9,1), stride, bn2 folded ---
         t_out = (t + 8 - 9) // stride + 1
@@ -292,12 +291,11 @@ def _backbone_kernel(x_ref, dbn_s_ref, dbn_t_ref, *refs, BN: int, T0: int,
 
 def fused_backbone_forward(
     x: jnp.ndarray,
-    folded_and_dbn,
+    folded: FoldedBackbone,
     samples_per_program: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Serve the whole backbone in one pallas_call. x: (N, T, V, Cin)."""
-    folded, (dbn_s, dbn_t) = folded_and_dbn
     n, t0, v, cin = x.shape
     num_classes = folded.cls_b.shape[0]
     bn = min(samples_per_program, n)
@@ -312,11 +310,10 @@ def fused_backbone_forward(
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
-    operands = [x, dbn_s, dbn_t]
+    operands = [x]
     in_specs = [
         pl.BlockSpec((bn, t0, v, cin), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        bcast(dbn_s), bcast(dbn_t),
     ]
     for blk in folded.blocks:
         for arr in blk:
