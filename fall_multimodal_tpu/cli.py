@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--cv", action="store_true", help="k-fold cross-validation")
     p.add_argument("--cv-vmapped", action="store_true",
                    help="k-fold CV with all folds trained in one vmapped program")
+    p.add_argument("--cv-mesh", type=int, default=None, metavar="N",
+                   help="with --cv-vmapped: shard the fold axis over an "
+                        "N-device mesh (folds must divide N)")
     p.add_argument("--folds", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--data-path", default=None, help="dataset root (CSV dir or pickle)")
@@ -108,8 +111,14 @@ def main(argv=None) -> Dict:
         if args.cv_vmapped:
             from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
 
+            mesh = None
+            if args.cv_mesh:
+                from fall_multimodal_tpu.parallel import make_mesh
+
+                mesh = make_mesh(args.cv_mesh, axis="fold")
             results = cross_validate_vmapped(
-                cfg, data, n_folds=args.folds, epochs=args.epochs, logger=logger,
+                cfg, data, n_folds=args.folds, epochs=args.epochs,
+                logger=logger, mesh=mesh,
             )
         else:
             results = cross_validate(

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 
 def activation_factory(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Activations of the reference factory (``musa_model.py:19-37``)."""
+    """Activations of the reference factory (``musa_model.py:19-37``).
+
+    The reference also lists ``acon``/``metaacon`` branches, but the
+    ``AconC``/``MetaAconC`` classes are defined nowhere in the repo — those
+    selections raise ``NameError`` there; here they raise the factory's own
+    ``ValueError`` (same unusable status, clearer message).
+    """
     table = {
         "relu": nn.relu,
         "leakyrelu": lambda x: nn.leaky_relu(x, negative_slope=0.2),

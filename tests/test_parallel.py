@@ -147,3 +147,33 @@ def test_sharded_data_storage_matches_replicated(setup):
     np.testing.assert_allclose(float(m_repl["loss"]), float(m_shard["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s_repl.params), jax.tree.leaves(s_shard.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_vmapped_cv_fold_sharded_matches_unsharded():
+    """Fold-parallel CV sharded over a 4-device mesh must reproduce the
+    single-device vmapped run: identical protocol, identical seeds — only
+    the placement of the fold axis changes."""
+    from fall_multimodal_tpu.configs import load_config, preset_path
+    from fall_multimodal_tpu.data import make_synthetic
+    from fall_multimodal_tpu.parallel import make_mesh
+    from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
+
+    data = make_synthetic(
+        n_windows=96, num_classes=3, sensor_dim=6, windows_per_video=8,
+        noise=0.05, seed=0,
+    )
+    cfg = load_config(
+        preset_path("bilstm"),
+        overrides={"data.num_classes": 3, "data.n_folds": 4},
+    )
+    base = cross_validate_vmapped(cfg, data, n_folds=4, epochs=3)
+    mesh = make_mesh(4, axis="fold")
+    sharded = cross_validate_vmapped(cfg, data, n_folds=4, epochs=3, mesh=mesh)
+
+    for a, b in zip(base["folds"], sharded["folds"]):
+        assert a["test_accuracy"] == pytest.approx(b["test_accuracy"], abs=1e-6)
+        assert a["macro_f1"] == pytest.approx(b["macro_f1"], abs=1e-6)
+
+    with pytest.raises(ValueError):
+        cross_validate_vmapped(cfg, data, n_folds=3, epochs=1,
+                               mesh=make_mesh(2, axis="fold"))
