@@ -67,14 +67,16 @@ def make_data(n_windows: int, classes: int, noise: float, label_flip: float,
 
 
 def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
-             batch_size: int = 32):
+             batch_size: int = 32, family: str = "gstcan"):
     from fall_multimodal_tpu.configs import load_config, preset_path
     from fall_multimodal_tpu.data import to_device
     from fall_multimodal_tpu.train.cv import run_fold
 
+    preset = "gstcan_urfall_3stream" if family == "gstcan" else "musa_harup"
     cfg = load_config(
-        preset_path("gstcan_urfall_3stream"),
-        overrides={"seed": seed, "data.num_classes": classes},
+        preset_path(preset),
+        overrides={"seed": seed, "data.num_classes": classes,
+                   "train.batch_size": batch_size},
     )
     splits = {
         "train": to_device(train_np),
@@ -91,6 +93,77 @@ def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
         "final_val_accuracy": result.history["val_acc"][-1],
         "final_train_accuracy": result.history["train_acc"][-1],
         "val_curve": [round(v, 4) for v in result.history["val_acc"]],
+        "wall_seconds": dt,
+    }
+
+
+def run_reference_musa(train_np, valid_np, epochs: int, seed: int,
+                       classes: int, reference_path: str,
+                       batch_size: int = 32):
+    """Gen-3 flagship head-to-head: the vendored ``musa_model.py`` trained
+    with the hard-coded ``Multimodal_Fall3/main.py:307-320,362`` config
+    (coco_cut/uniform, bias/edge True, block_size 41, embed 64, n_stage 1,
+    tanh, RMSprop 1e-3)."""
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_musa_model",
+        os.path.join(reference_path, "Multimodal_Fall3", "model",
+                     "musa_model.py"),
+    )
+    mm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mm)
+
+    torch.manual_seed(seed)
+    model = mm.Model(
+        num_class=classes, num_point=14, max_frame=300,
+        graph=mm.adjGraph(layout="coco_cut", strategy="uniform"),
+        bias=True, edge=True, block_size=41,
+        embed_dim=64, n_stage=1, act_type="tanh",
+    )
+    opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
+    loss_fn = torch.nn.CrossEntropyLoss()
+
+    def to_torch(ds):
+        skel = torch.tensor(np.transpose(ds.features, (0, 3, 1, 2)))  # NCTV
+        return skel, torch.tensor(ds.labels)
+
+    tr = to_torch(train_np)
+    va = to_torch(valid_np)
+    n = len(train_np)
+
+    def accuracy(split):
+        model.eval()
+        with torch.no_grad():
+            out = model(split[0])
+        return float((out.argmax(1) == split[1].argmax(1)).float().mean())
+
+    t0 = time.perf_counter()
+    best = 0.0
+    curve = []
+    rng = np.random.default_rng(seed)
+    for epoch in range(epochs):
+        model.train()
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i : i + batch_size]
+            loss = loss_fn(model(tr[0][idx]), tr[1][idx])
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        va_acc = accuracy(va)
+        curve.append(round(va_acc, 4))
+        best = max(best, va_acc)
+    dt = time.perf_counter() - t0
+    return {
+        "framework": "reference_torch",
+        "seed": seed,
+        "best_val_accuracy": best,
+        "final_val_accuracy": curve[-1],
+        "final_train_accuracy": accuracy(tr),
+        "val_curve": curve,
         "wall_seconds": dt,
     }
 
@@ -171,19 +244,23 @@ def main():
     parser.add_argument("--reference-path", default="/root/reference")
     parser.add_argument("--skip-reference", action="store_true")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--family", choices=["gstcan", "musa"],
+                        default="gstcan")
     args = parser.parse_args()
 
     train_np, valid_np = make_data(
         args.windows, args.classes, args.noise, args.label_flip
     )
+    ref_fn = run_reference if args.family == "gstcan" else run_reference_musa
     rows = []
     for seed in range(args.seeds):
-        rows.append(run_ours(train_np, valid_np, args.epochs, seed, args.classes))
+        rows.append(run_ours(train_np, valid_np, args.epochs, seed,
+                             args.classes, family=args.family))
         print(rows[-1])
         if not args.skip_reference and os.path.isdir(args.reference_path):
             rows.append(
-                run_reference(train_np, valid_np, args.epochs, seed,
-                              args.classes, args.reference_path)
+                ref_fn(train_np, valid_np, args.epochs, seed,
+                       args.classes, args.reference_path)
             )
             print(rows[-1])
 
@@ -213,8 +290,10 @@ def main():
         )
         summary["below_ceiling"] = bool(ref["max"] < 0.995 and ours["max"] < 0.995)
 
+    summary["family"] = args.family
+    suffix = "" if args.family == "gstcan" else f"_{args.family}"
     out = args.out or os.path.join(
-        os.path.dirname(__file__), "parity_results_belowceiling.json"
+        os.path.dirname(__file__), f"parity_results_belowceiling{suffix}.json"
     )
     with open(out, "w") as fh:
         json.dump(summary, fh, indent=2)
