@@ -266,10 +266,19 @@ def main():
 
     def stats(fw):
         accs = [r["best_val_accuracy"] for r in rows if r["framework"] == fw]
+        # max-over-epochs on a small val set is a high-variance statistic;
+        # the mean of the last 10 epochs is the robust companion number
+        tails = [
+            float(np.mean(r["val_curve"][-10:]))
+            for r in rows if r["framework"] == fw
+        ]
         return {
             "mean": float(np.mean(accs)), "std": float(np.std(accs)),
             "min": float(np.min(accs)), "max": float(np.max(accs)),
             "per_seed": accs,
+            "last10_mean": float(np.mean(tails)),
+            "last10_std": float(np.std(tails)),
+            "last10_per_seed": tails,
         } if accs else None
 
     summary = {

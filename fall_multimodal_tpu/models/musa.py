@@ -319,6 +319,7 @@ class MusaModel(nn.Module):
     bias: bool = True
     with_tail: bool = True
     embed_norm: bool = False
+    dropout: float = 0.2
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -360,4 +361,6 @@ class MusaModel(nn.Module):
         out_p = out_p.mean(axis=(1, 2))
         out_m = out_m.mean(axis=(1, 2))
         concat = jnp.concatenate([out_p, out_m, res_pos], axis=-1)
-        return ClassificationModule(self.num_classes, name="fc")(concat, train=train)
+        return ClassificationModule(
+            self.num_classes, dropout=self.dropout, name="fc"
+        )(concat, train=train)
