@@ -330,4 +330,10 @@ def fused_backbone_forward(
         out_specs=pl.BlockSpec((bn, num_classes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        # the whole-backbone body keeps several (BN, T, V, C) live values on
+        # the kernel stack; the 16MB default scoped-vmem limit OOMs at
+        # BN>=8 (measured) — raise it toward the chip's 128MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(*operands)
