@@ -38,6 +38,13 @@ def parse_args(argv=None):
                    help="with --cv-vmapped: shard the fold axis over an "
                         "N-device mesh (folds must divide N)")
     p.add_argument("--folds", type=int, default=None)
+    p.add_argument("--grid", nargs="?", const="reference", default=None,
+                   metavar="JSON",
+                   help="hyperparameter grid search (reference "
+                        "hyperparameter_tuning.py). Bare --grid runs the "
+                        "shipped 48-point embed_dim x n_stage x act_type "
+                        "space; or pass a JSON dict of lists, e.g. "
+                        '\'{"embed_dim": [16, 32]}\'. Writes grid_results.csv')
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--data-path", default=None, help="dataset root (CSV dir or pickle)")
     p.add_argument("--test-only", action="store_true")
@@ -106,6 +113,27 @@ def main(argv=None) -> Dict:
 
     with open(os.path.join(out_dir, "config.json"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=2, default=str)
+
+    if args.grid:
+        from fall_multimodal_tpu.train.cv import grid_search, reference_grid
+
+        grid = (reference_grid() if args.grid == "reference"
+                else json.loads(args.grid))
+        rows = grid_search(cfg, data, grid, epochs=args.epochs, logger=logger)
+        # CSV accumulation as the reference writes it
+        # (hyperparameter_tuning.py:466-471): one row per grid point,
+        # hyperparameter columns then accuracies
+        import csv
+
+        csv_path = os.path.join(out_dir, "grid_results.csv")
+        with open(csv_path, "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=list(rows[0]))
+            writer.writeheader()
+            writer.writerows(rows)
+        with open(os.path.join(out_dir, "grid_results.json"), "w") as fh:
+            json.dump(rows, fh, indent=2)
+        logger.info(f"best grid point: {rows[0]}")
+        return {"grid": rows}
 
     if args.cv or args.cv_vmapped:
         if args.cv_vmapped:

@@ -131,6 +131,32 @@ def test_cli_cv_mode(tmp_path):
     assert os.path.exists(os.path.join(out, "cv_results.json"))
 
 
+def test_cli_grid_mode(tmp_path):
+    """--grid runs the hyperparameter search (reference
+    hyperparameter_tuning.py surface) and writes the accumulated CSV."""
+    from fall_multimodal_tpu.cli import main
+
+    out = str(tmp_path / "grid")
+    result = main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--epochs", "1",
+        "--grid", '{"hidden_size": [8, 16]}',
+        "--output-dir", out,
+        "--synthetic-windows", "64",
+    ])
+    rows = result["grid"]
+    assert len(rows) == 2
+    assert {r["hidden_size"] for r in rows} == {8, 16}
+    assert all("val_accuracy" in r and "test_accuracy" in r for r in rows)
+    # sorted best-first
+    assert rows[0]["val_accuracy"] >= rows[1]["val_accuracy"]
+    csv_path = os.path.join(out, "grid_results.csv")
+    assert os.path.exists(csv_path)
+    header = open(csv_path).readline().strip().split(",")
+    assert "hidden_size" in header and "val_accuracy" in header
+
+
 def test_vmapped_cv_matches_sequential_quality(tiny_data):
     """All-folds-at-once vmapped CV must produce the same result structure
     and learn comparably to the sequential driver."""
