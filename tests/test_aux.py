@@ -163,6 +163,67 @@ def test_dropblock_t_zeroes_frames(rng):
     np.testing.assert_allclose(np.asarray(mod.apply(v, x, 0.5, False)), np.asarray(x))
 
 
+def test_dropblock_statistics_match_reference():
+    """Cross-framework distributional parity of the DropGraph regularizers.
+
+    ``tests/fixtures/reference_dropblock.npz`` holds 2000-draw sampling
+    statistics of the reference ``Randomized_DropBlock_Ske`` /
+    ``Randomized_DropBlockT_1d`` (``musa_model.py:39-98``) on a fixed input
+    (generated by ``experiments/gen_dropblock_fixture.py``). Our modules
+    must drop the same fraction, in the same activity-dependent pattern,
+    with the same rescale — the stochastic half of musa training parity
+    (the deterministic half is ``experiments/parity_grads_musa.py``)."""
+    import os
+
+    from fall_multimodal_tpu.models.musa import DropBlockSke, DropBlockT
+
+    blob = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                "reference_dropblock.npz"))
+    x_nctv, A = blob["x"], blob["A"]
+    draws, keep_prob = int(blob["draws"]), float(blob["keep_prob"])
+    x = jnp.asarray(np.transpose(x_nctv, (0, 2, 3, 1)))      # NCTV -> NTVC
+    A_j = jnp.asarray(A)
+
+    ske = DropBlockSke()
+    v = ske.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 x, keep_prob, A_j, True)
+
+    @jax.jit
+    def ske_draw(key):
+        out = ske.apply(v, x, keep_prob, A_j, True, rngs={"dropout": key})
+        dropped = (out == 0).all(axis=(1, 3))                # (N, V)
+        scale = jnp.where(out != 0, out / x, jnp.nan)
+        return dropped, jnp.nanmean(scale)
+
+    keys = jax.random.split(jax.random.key(42), draws)
+    dropped, scales = jax.vmap(ske_draw)(keys)
+    dropped, scales = np.asarray(dropped), np.asarray(scales)
+    np.testing.assert_allclose(
+        dropped.mean(), blob["ske_frac_mean"], atol=0.008)
+    np.testing.assert_allclose(
+        np.nanmean(scales), blob["ske_scale_mean"], atol=0.02)
+    # per-(sample, joint) drop frequency: same activity-dependent pattern
+    np.testing.assert_allclose(
+        dropped.mean(axis=0), blob["ske_pos_freq"], atol=0.04)
+
+    dt = DropBlockT(block_size=7)
+    vt = dt.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 x, keep_prob, True)
+
+    @jax.jit
+    def t_draw(key):
+        out = dt.apply(vt, x, keep_prob, True, rngs={"dropout": key})
+        dropped = (out == 0).all(axis=(2, 3))                # (N, T)
+        scale = jnp.where(out != 0, out / x, jnp.nan)
+        return dropped, jnp.nanmean(scale)
+
+    dropped_t, scales_t = jax.vmap(t_draw)(keys)
+    np.testing.assert_allclose(
+        np.asarray(dropped_t).mean(), blob["t_frac_mean"], atol=0.008)
+    np.testing.assert_allclose(
+        np.nanmean(np.asarray(scales_t)), blob["t_scale_mean"], atol=0.02)
+
+
 def test_save_confusion_png(tmp_path):
     from fall_multimodal_tpu.train.metrics import save_confusion_png
 
