@@ -246,7 +246,16 @@ def main():
     parser.add_argument("--out", default=None)
     parser.add_argument("--family", choices=["gstcan", "musa"],
                         default="gstcan")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the local CPU backend (the env var is "
+                             "overridden by the axon plugin; the config "
+                             "update wins)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     train_np, valid_np = make_data(
         args.windows, args.classes, args.noise, args.label_flip
@@ -256,13 +265,13 @@ def main():
     for seed in range(args.seeds):
         rows.append(run_ours(train_np, valid_np, args.epochs, seed,
                              args.classes, family=args.family))
-        print(rows[-1])
+        print(rows[-1], flush=True)
         if not args.skip_reference and os.path.isdir(args.reference_path):
             rows.append(
                 ref_fn(train_np, valid_np, args.epochs, seed,
                        args.classes, args.reference_path)
             )
-            print(rows[-1])
+            print(rows[-1], flush=True)
 
     def stats(fw):
         accs = [r["best_val_accuracy"] for r in rows if r["framework"] == fw]
