@@ -243,6 +243,14 @@ def main():
     parser.add_argument("--seeds", type=int, default=3)
     parser.add_argument("--reference-path", default="/root/reference")
     parser.add_argument("--skip-reference", action="store_true")
+    parser.add_argument("--skip-ours", action="store_true",
+                        help="reference arm only (e.g. to run the torch arm "
+                             "on CPU while ours runs on TPU in a separate "
+                             "process; merge the JSONs afterwards)")
+    parser.add_argument("--merge", nargs=2, metavar=("OURS_JSON", "REF_JSON"),
+                        default=None,
+                        help="merge two single-arm result files into one "
+                             "summary (no training)")
     parser.add_argument("--out", default=None)
     parser.add_argument("--family", choices=["gstcan", "musa"],
                         default="gstcan")
@@ -262,16 +270,21 @@ def main():
     )
     ref_fn = run_reference if args.family == "gstcan" else run_reference_musa
     rows = []
-    for seed in range(args.seeds):
-        rows.append(run_ours(train_np, valid_np, args.epochs, seed,
-                             args.classes, family=args.family))
-        print(rows[-1], flush=True)
-        if not args.skip_reference and os.path.isdir(args.reference_path):
-            rows.append(
-                ref_fn(train_np, valid_np, args.epochs, seed,
-                       args.classes, args.reference_path)
-            )
-            print(rows[-1], flush=True)
+    if args.merge:
+        for path in args.merge:
+            rows.extend(json.load(open(path))["runs"])
+    else:
+        for seed in range(args.seeds):
+            if not args.skip_ours:
+                rows.append(run_ours(train_np, valid_np, args.epochs, seed,
+                                     args.classes, family=args.family))
+                print(rows[-1], flush=True)
+            if not args.skip_reference and os.path.isdir(args.reference_path):
+                rows.append(
+                    ref_fn(train_np, valid_np, args.epochs, seed,
+                           args.classes, args.reference_path)
+                )
+                print(rows[-1], flush=True)
 
     def stats(fw):
         accs = [r["best_val_accuracy"] for r in rows if r["framework"] == fw]
