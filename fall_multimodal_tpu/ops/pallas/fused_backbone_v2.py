@@ -1,4 +1,12 @@
-"""Whole-backbone fused Pallas serving kernel (round-2 north star).
+"""Whole-backbone fused Pallas serving kernel.
+
+STATUS (round 2): kept flag-gated and off the default serving path. The
+measured roofline closed the fused-kernel north star in XLA's favor — the
+workload is MXU-bound (inter-block HBM traffic is ~4% of bandwidth, so
+whole-model fusion has nothing to save) and Mosaic compile time is
+superlinear in fused-body size (325 s / 1,057 s for 1-/2-block bodies).
+Full analysis: PARITY.md "Fused-kernel north star". Correctness is locked
+by tests (interpret mode) and 1-/2-block real-chip probes (4.8e-4).
 
 Round 1's per-block kernel still round-tripped activations through HBM
 between the 7 ``pallas_call``s and lost to plain XLA end-to-end. This
