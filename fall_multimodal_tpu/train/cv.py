@@ -115,6 +115,7 @@ def run_fold(
         grad_norms=grad_norms,
         step_metrics_callback=step_metrics_callback,
         lr_fn=lr_fn if callable(lr_fn) else None,
+        epoch_impl=config.train.epoch_impl,
     )
 
 

@@ -122,19 +122,50 @@ def make_train_step(
 
 
 def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=False,
-                     compute_dtype=None, grad_norms=False):
-    """Jitted whole-epoch function: (state, data, batch_idx) -> (state, metrics).
+                     compute_dtype=None, grad_norms=False, impl: str = "scan"):
+    """Whole-epoch function: (state, data, batch_idx) -> (state, metrics).
 
     With ``grad_norms=True`` the returned metrics carry a ``"grad_norms"``
     subtree of per-parameter per-step (steps,) arrays — accumulated on
     device in the scan stack and flushed to host once per epoch (the
     reference wrote each step's scalars to TensorBoard synchronously,
     ``main.py:84-89,129``; one device->host flush per epoch is the TPU-sane
-    equivalent)."""
+    equivalent).
+
+    ``impl``: ``"scan"`` compiles the epoch as one ``lax.scan`` over steps —
+    the TPU path (amortizes dispatch; the whole epoch is one device call).
+    ``"host"`` drives the SAME jitted step from a python loop — on the XLA
+    CPU backend the scanned epoch executes ~6.5x slower per step than the
+    identical step compiled standalone (measured: musa batch 32, 24.0 s vs
+    3.7 s/step; scan carries defeat the CPU backend's buffer reuse), so CPU
+    runs want the loop. ``"auto"`` picks by backend. Both produce the same
+    (state, metrics) contract and the same numbers up to fp reassociation.
+    """
     train_step = make_train_step(
         model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
         grad_norms=grad_norms,
     )
+    if impl == "auto":
+        impl = "host" if jax.default_backend() == "cpu" else "scan"
+
+    if impl == "host":
+        jstep = jax.jit(train_step)
+
+        def epoch_host(state: TrainState, data: DeviceData, batch_idx):
+            metrics = []
+            for i in range(batch_idx.shape[0]):
+                state, m = jstep(state, gather_batch(data, batch_idx[i]))
+                metrics.append(m)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)
+            per_step = stacked.pop("grad_norms", None)
+            out = jax.tree.map(jnp.mean, stacked)
+            if per_step is not None:
+                out["grad_norms"] = per_step
+            return state, out
+
+        return epoch_host
+    if impl != "scan":
+        raise ValueError(f"epoch impl must be scan|host|auto, got {impl!r}")
 
     @jax.jit
     def epoch(state: TrainState, data: DeviceData, batch_idx: jnp.ndarray):
@@ -252,6 +283,7 @@ def fit(
     grad_norms: bool = False,
     step_metrics_callback=None,
     lr_fn=None,
+    epoch_impl: str = "scan",
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -261,7 +293,7 @@ def fit(
     """
     train_epoch = make_train_epoch(
         model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
-        grad_norms=grad_norms,
+        grad_norms=grad_norms, impl=epoch_impl,
     )
     eval_epoch = make_eval_epoch(model, num_classes, label_smoothing, softmax_before_ce)
 

@@ -6,6 +6,7 @@ The CI box has a single CPU core, so skeleton models run with a reduced
 is identical to the full 7-block production stack.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -89,6 +90,48 @@ def test_three_stream_gstcan_learns_synthetic():
     )
     assert result.history["train_acc"][-1] > 0.8
     assert result.history["train_loss"][-1] < result.history["train_loss"][0]
+
+
+def test_host_epoch_matches_scanned_epoch():
+    """The host-loop epoch (CPU fast path, train.epoch_impl=host) must
+    produce the same state and metrics as the lax.scan epoch — same jitted
+    step, different sequencing."""
+    from fall_multimodal_tpu.data import epoch_batch_indices
+    from fall_multimodal_tpu.train import make_train_epoch
+
+    cfg = load_config(preset_path("bilstm"),
+                      overrides={"data.num_classes": 3})
+    splits = _device_splits(3, cfg.data.sensor_dim, n=96)
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state0 = create_train_state(
+        model, optimizer, splits["train"].features[:2],
+        splits["train"].sensors[:2], seed=0,
+    )
+    idx = epoch_batch_indices(jax.random.key(5), splits["train"].n, 32)
+
+    scan_epoch = make_train_epoch(model, optimizer, impl="scan")
+    host_epoch = make_train_epoch(model, optimizer, impl="host")
+    s_scan, m_scan = scan_epoch(state0, splits["train"], idx)
+    s_host, m_host = host_epoch(state0, splits["train"], idx)
+
+    np.testing.assert_allclose(
+        float(m_scan["loss"]), float(m_host["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_scan["accuracy"]), float(m_host["accuracy"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        s_scan.params, s_host.params,
+    )
+    assert int(s_scan.step) == int(s_host.step)
+
+    # the grad_norms contract survives both impls: (steps,) per parameter
+    gn_epoch = make_train_epoch(model, optimizer, grad_norms=True,
+                                impl="host")
+    _, m_gn = gn_epoch(state0, splits["train"], idx)
+    steps = idx.shape[0]
+    assert all(v.shape == (steps,) for v in m_gn["grad_norms"].values())
 
 
 def test_evaluate_confusion_consistency():
