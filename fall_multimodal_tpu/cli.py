@@ -36,7 +36,7 @@ def parse_args(argv=None):
                    help="k-fold CV with all folds trained in one vmapped program")
     p.add_argument("--cv-mesh", type=int, default=None, metavar="N",
                    help="with --cv-vmapped: shard the fold axis over an "
-                        "N-device mesh (folds must divide N)")
+                        "N-device mesh (N must divide the fold count)")
     p.add_argument("--folds", type=int, default=None)
     p.add_argument("--grid", nargs="?", const="reference", default=None,
                    metavar="JSON",
@@ -114,11 +114,23 @@ def main(argv=None) -> Dict:
     with open(os.path.join(out_dir, "config.json"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=2, default=str)
 
+    if args.grad_norms and (args.grid or args.cv or args.cv_vmapped):
+        logger.warning(
+            "--grad-norms is only wired on the single-split path; "
+            "ignoring it for --grid/--cv/--cv-vmapped runs"
+        )
+
     if args.grid:
         from fall_multimodal_tpu.train.cv import grid_search, reference_grid
 
         grid = (reference_grid() if args.grid == "reference"
                 else json.loads(args.grid))
+        empty = [k for k, v in grid.items() if not list(v)]
+        if not grid or empty:
+            raise SystemExit(
+                f"--grid needs a non-empty dict of non-empty lists"
+                f"{'; empty values for ' + ', '.join(empty) if empty else ''}"
+            )
         rows = grid_search(cfg, data, grid, epochs=args.epochs, logger=logger)
         # CSV accumulation as the reference writes it
         # (hyperparameter_tuning.py:466-471): one row per grid point,

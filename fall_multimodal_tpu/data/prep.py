@@ -145,26 +145,38 @@ def extract_pose_csv(
     video_name: str,
     labels: Optional[Sequence[object]] = None,
     frame_size: Optional[Tuple[float, float]] = None,
+    save_path: Optional[str] = None,
 ):
-    """Run a pose extractor over frames -> pose DataFrame with the
-    reference's CSV schema: video, frame, <J x (x, y, score)>, label."""
-    import pandas as pd
+    """Single-callable convenience wrapper over :func:`run_pose_extraction`.
 
-    rows = []
-    for i, frame in enumerate(frames):
+    For users with one fused frame->keypoints model instead of the
+    reference's detector+pose pair: the callable's (J, 3) pixel-coordinate
+    output (or None on a miss) is adapted into the two-stage driver, so
+    both entry points emit the SAME reference-exact ``POSE_CSV_COLUMNS``
+    schema (1-based frames, coordinates normalized by frame size,
+    ``har_create3.py:45-50,181-185``)."""
+
+    def full_frame_detector(frame: np.ndarray):
+        h, w = frame.shape[:2]
+        return np.array([[0, 0, w, h]])
+
+    def pose_from_extractor(frame: np.ndarray, box: np.ndarray):
         pts = extractor(frame)
         if pts is None:
-            pts = np.full((13, 3), np.nan)
-        if frame_size is not None:
-            pts = pts.copy()
-            pts[:, :2] = normalize_points_with_size(pts[:, :2], *frame_size)
-        row = {"video": video_name, "frame": i}
-        for j, (x, y, s) in enumerate(pts):
-            row[f"j{j}_x"], row[f"j{j}_y"], row[f"j{j}_s"] = x, y, s
-        if labels is not None:
-            row["label"] = labels[i]
-        rows.append(row)
-    return pd.DataFrame(rows)
+            return None
+        pts = np.asarray(pts, dtype=np.float64)
+        return {"keypoints": pts[:, :2], "kp_score": pts[:, 2:3]}
+
+    return run_pose_extraction(
+        frames,
+        full_frame_detector,
+        pose_from_extractor,
+        video_name,
+        labels=labels,
+        frame_size=frame_size,
+        box_pad=0,
+        save_path=save_path,
+    )
 
 
 # The reference's exact 13-joint pose-CSV schema (har_create3.py:45-50).

@@ -62,10 +62,17 @@ def cross_validate_vmapped(
     batch = config.train.batch_size
     num_classes = data.num_classes
 
-    folds = kfold_indices(
-        data.videos, n_folds=n_folds, seed=config.seed,
-        by_video=config.data.split_by_video,
-    )
+    if config.data.stratify_folds:
+        from fall_multimodal_tpu.data.splits import stratified_kfold_indices
+
+        folds = stratified_kfold_indices(
+            data.labels, n_folds=n_folds, seed=config.seed
+        )
+    else:
+        folds = kfold_indices(
+            data.videos, n_folds=n_folds, seed=config.seed,
+            by_video=config.data.split_by_video,
+        )
     dev = to_device(data)                     # ONE copy of the full dataset
 
     if mesh is not None:

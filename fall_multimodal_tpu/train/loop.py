@@ -324,7 +324,10 @@ def fit(
             # global step numbers (reference main.py:84-89,129)
             host = {k: np.asarray(v) for k, v in per_step_norms.items()}
             steps_this_epoch = len(next(iter(host.values())))
-            base = (epoch_i - start_epoch) * steps_this_epoch
+            # global step numbering must survive --resume: epoch_i is the
+            # absolute epoch, so anchor at epoch 1, not start_epoch (else a
+            # resumed run re-emits steps 0..N-1 over the first run's curves)
+            base = (epoch_i - 1) * steps_this_epoch
             for i in range(steps_this_epoch):
                 step_metrics_callback(
                     base + i,

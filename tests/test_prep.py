@@ -94,14 +94,26 @@ def test_normalize_points_with_size():
 
 
 def test_pose_extractor_interface(rng):
+    """The single-callable wrapper emits the same reference-exact schema
+    as the two-stage run_pose_extraction driver."""
+    from fall_multimodal_tpu.data.prep import POSE_CSV_COLUMNS
+
     def fake_extractor(frame):
-        return rng.random((13, 3))
+        return rng.random((13, 3)) * 100.0        # pixel coords + score
 
     frames = [np.zeros((240, 320, 3)) for _ in range(5)]
     df = extract_pose_csv(frames, fake_extractor, "vid0",
                           labels=["a"] * 5, frame_size=(320, 240))
     assert len(df) == 5
-    assert "j12_s" in df.columns and "label" in df.columns
+    assert list(df.columns) == list(POSE_CSV_COLUMNS)
+    assert list(df["frame"]) == [1, 2, 3, 4, 5]   # reference 1-based frames
+    # coordinates come back normalized by the frame size
+    coords = df[[c for c in df.columns if c.endswith(("_x", "_y"))]]
+    assert float(coords.max().max()) <= 1.0
+
+    # a miss yields an all-NaN keypoint row
+    df2 = extract_pose_csv([np.zeros((240, 320, 3))], lambda f: None, "v")
+    assert np.isnan(df2.iloc[0]["Nose_x"])
 
 
 def test_sensor_csv_normalization(tmp_path, rng):
