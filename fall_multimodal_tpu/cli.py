@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--cv-mesh", type=int, default=None, metavar="N",
                    help="with --cv-vmapped: shard the fold axis over an "
                         "N-device mesh (N must divide the fold count)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="data-parallel training over an N-device mesh: "
+                        "params replicated, per-step batch compute sharded "
+                        "across chips (applies to the single-split, --cv, "
+                        "and --grid paths; for --cv-vmapped use --cv-mesh)")
     p.add_argument("--folds", type=int, default=None)
     p.add_argument("--grid", nargs="?", const="reference", default=None,
                    metavar="JSON",
@@ -63,6 +68,8 @@ def parse_args(argv=None):
 
 
 def load_cli_config(args):
+    import dataclasses
+
     from fall_multimodal_tpu.configs import load_config, preset_path
 
     path = args.config
@@ -72,11 +79,42 @@ def load_cli_config(args):
     for item in args.set:
         key, _, value = item.partition("=")
         overrides[key] = value
-    cfg = load_config(path, overrides)
+    try:
+        cfg = load_config(path, overrides)
+    except (KeyError, TypeError) as e:
+        # bad --set keys fail loudly with the offending key and the valid
+        # ones (config._build raises KeyError listing them)
+        raise SystemExit(f"invalid config override: {e}") from e
     if args.epochs:
-        cfg = cfg.replace(train=cfg.train.__class__(
-            **{**cfg.train.__dict__, "epochs": args.epochs}))
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
     return cfg
+
+
+def _log_model_summary(cfg, data, logger) -> None:
+    """Print the parameter table at driver start (the reference runs
+    ``torchinfo.summary`` before training, ``Multimodal_Fall3/main.py:326-328``).
+    Shapes come from ``jax.eval_shape`` — no compute, no compilation."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from fall_multimodal_tpu.models import build_model
+        from fall_multimodal_tpu.utils.profiling import model_summary
+
+        model = build_model(cfg)
+        feats = jnp.zeros((2,) + tuple(_np.shape(data.features)[1:]), jnp.float32)
+        sens = (
+            jnp.zeros((2,) + tuple(_np.shape(data.sensors)[1:]), jnp.float32)
+            if data.sensors is not None
+            else jnp.zeros((2, 1, 1), jnp.float32)
+        )
+        variables = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), feats, sens, train=False)
+        )
+        logger.info("model summary:\n" + model_summary(variables["params"]))
+    except Exception as e:  # summary must never block training
+        logger.warning(f"model summary unavailable: {e}")
 
 
 def main(argv=None) -> Dict:
@@ -114,11 +152,53 @@ def main(argv=None) -> Dict:
     with open(os.path.join(out_dir, "config.json"), "w") as fh:
         json.dump(cfg.to_dict(), fh, indent=2, default=str)
 
-    if args.grad_norms and (args.grid or args.cv or args.cv_vmapped):
-        logger.warning(
-            "--grad-norms is only wired on the single-split path; "
-            "ignoring it for --grid/--cv/--cv-vmapped runs"
+    # driver-start parameter table (reference torchinfo.summary,
+    # Multimodal_Fall3/main.py:326-328) — via eval_shape, zero compute
+    _log_model_summary(cfg, data, logger)
+
+    if args.cv_mesh and not args.cv_vmapped:
+        raise SystemExit(
+            "--cv-mesh shards the fold axis of the vmapped CV driver; "
+            "pass it together with --cv-vmapped (for data-parallel "
+            "training of the other paths use --mesh N)"
         )
+    if args.mesh and args.cv_vmapped:
+        raise SystemExit(
+            "--mesh (batch data-parallelism) does not apply to "
+            "--cv-vmapped; use --cv-mesh N to shard the fold axis"
+        )
+    mesh = None
+    if args.mesh:
+        from fall_multimodal_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+        logger.info(f"data-parallel mesh: {args.mesh} devices")
+
+    # TensorBoard scalars (reference SummaryWriter, main.py:146-148) and
+    # per-parameter per-step gradient norms (main.py:84-89,129) — wired on
+    # every path; CV/grid tag scalars by fold/point.
+    metrics_callback = None
+    step_metrics_callback = None
+    step_metrics_factory = None
+    if args.tensorboard or args.grad_norms:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir=out_dir)
+
+        def metrics_callback(epoch, scalars):
+            for name, value in scalars.items():
+                writer.add_scalar(name, value, epoch)
+
+        if args.grad_norms:
+            def step_metrics_callback(step, scalars):
+                for name, value in scalars.items():
+                    writer.add_scalar(name, value, step)
+
+            def step_metrics_factory(tag):
+                def cb(step, scalars):
+                    for name, value in scalars.items():
+                        writer.add_scalar(f"fold{tag}/{name}", value, step)
+                return cb
 
     if args.grid:
         from fall_multimodal_tpu.train.cv import grid_search, reference_grid
@@ -131,39 +211,48 @@ def main(argv=None) -> Dict:
                 f"--grid needs a non-empty dict of non-empty lists"
                 f"{'; empty values for ' + ', '.join(empty) if empty else ''}"
             )
-        rows = grid_search(cfg, data, grid, epochs=args.epochs, logger=logger)
-        # CSV accumulation as the reference writes it
-        # (hyperparameter_tuning.py:466-471): one row per grid point,
-        # hyperparameter columns then accuracies
+        rows = grid_search(cfg, data, grid, epochs=args.epochs, logger=logger,
+                           mesh=mesh, grad_norms=args.grad_norms,
+                           step_metrics_factory=step_metrics_factory)
+        # one CSV row per grid point in grid-iteration order (the reference
+        # accumulation order, hyperparameter_tuning.py:466-471), with a
+        # rank column instead of reordering
         import csv
 
         csv_path = os.path.join(out_dir, "grid_results.csv")
         with open(csv_path, "w", newline="") as fh:
-            writer = csv.DictWriter(fh, fieldnames=list(rows[0]))
-            writer.writeheader()
-            writer.writerows(rows)
+            csv_writer = csv.DictWriter(fh, fieldnames=list(rows[0]))
+            csv_writer.writeheader()
+            csv_writer.writerows(rows)
         with open(os.path.join(out_dir, "grid_results.json"), "w") as fh:
             json.dump(rows, fh, indent=2)
-        logger.info(f"best grid point: {rows[0]}")
+        best = min(rows, key=lambda r: r["rank"])
+        logger.info(f"best grid point: {best}")
         return {"grid": rows}
 
     if args.cv or args.cv_vmapped:
         if args.cv_vmapped:
             from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
 
-            mesh = None
+            fold_mesh = None
             if args.cv_mesh:
                 from fall_multimodal_tpu.parallel import make_mesh
 
-                mesh = make_mesh(args.cv_mesh, axis="fold")
+                fold_mesh = make_mesh(args.cv_mesh, axis="fold")
             results = cross_validate_vmapped(
                 cfg, data, n_folds=args.folds, epochs=args.epochs,
-                logger=logger, mesh=mesh,
+                logger=logger, mesh=fold_mesh,
+                grad_norms=args.grad_norms,
+                step_metrics_factory=step_metrics_factory,
             )
         else:
             results = cross_validate(
                 cfg, data, n_folds=args.folds, epochs=args.epochs,
                 logger=logger, checkpoint_dir=os.path.join(out_dir, "ckpt"),
+                artifacts_dir=out_dir,
+                grad_norms=args.grad_norms,
+                step_metrics_factory=step_metrics_factory,
+                mesh=mesh,
             )
         with open(os.path.join(out_dir, "cv_results.json"), "w") as fh:
             json.dump(results, fh, indent=2)
@@ -185,10 +274,22 @@ def main(argv=None) -> Dict:
         )
         src = Checkpointer(args.resume or os.path.join(out_dir, "ckpt"))
         state, epoch, best = src.restore("best", state)
+        batch_sharding = None
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+            splits = {
+                k: jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
+                for k, v in splits.items()
+            }
         eval_epoch = make_eval_epoch(
             model, data.num_classes,
             label_smoothing=cfg.train.label_smoothing,
             softmax_before_ce=cfg.model.softmax_output,
+            batch_sharding=batch_sharding,
         )
         test = evaluate(eval_epoch, state, splits["test"], cfg.train.batch_size)
         report = classification_report(test.confusion)
@@ -197,30 +298,13 @@ def main(argv=None) -> Dict:
             fh.write(report)
         return {"test_accuracy": test.accuracy}
 
-    metrics_callback = None
-    step_metrics_callback = None
-    if args.tensorboard or args.grad_norms:
-        # capability of the reference's SummaryWriter scalars (main.py:146-148)
-        from torch.utils.tensorboard import SummaryWriter
-
-        writer = SummaryWriter(log_dir=out_dir)
-
-        def metrics_callback(epoch, scalars):
-            for name, value in scalars.items():
-                writer.add_scalar(name, value, epoch)
-
-        if args.grad_norms:
-            # per-parameter per-step gradient norms (main.py:84-89,129)
-            def step_metrics_callback(step, scalars):
-                for name, value in scalars.items():
-                    writer.add_scalar(name, value, step)
-
     result = run_fold(cfg, splits, epochs=args.epochs, logger=logger,
                       checkpointer=ckpt, metrics_callback=metrics_callback,
                       resume_from=args.resume or cfg.resume_from,
                       pretrained_path=args.pretrained or cfg.pretrained_weight_path,
                       grad_norms=args.grad_norms,
-                      step_metrics_callback=step_metrics_callback)
+                      step_metrics_callback=step_metrics_callback,
+                      mesh=mesh)
     model = build_model(cfg)
     logger.info(
         f"best val accuracy {result.best_val_accuracy:.5f}; "

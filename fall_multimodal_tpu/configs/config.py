@@ -149,7 +149,10 @@ def _build(cls, data: Mapping[str, Any]):
     for key, value in data.items():
         k = key.lower()
         if k not in fields:
-            raise KeyError(f"Unknown config key {key!r} for {cls.__name__}")
+            raise KeyError(
+                f"Unknown config key {key!r} for {cls.__name__}; "
+                f"valid keys: {sorted(fields)}"
+            )
         if k in _SECTION_TYPES:
             kwargs[k] = _build(_SECTION_TYPES[k], value)
         elif k == "kwargs":

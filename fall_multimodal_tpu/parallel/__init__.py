@@ -2,6 +2,7 @@ from fall_multimodal_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharded,
     make_mesh,
+    make_parallel_eval_epoch,
     make_parallel_train_epoch,
     make_parallel_train_step,
     replicate_data,
@@ -14,6 +15,7 @@ __all__ = [
     "DATA_AXIS",
     "batch_sharded",
     "make_mesh",
+    "make_parallel_eval_epoch",
     "make_parallel_train_epoch",
     "make_parallel_train_step",
     "replicate_data",

@@ -74,38 +74,44 @@ def make_parallel_train_epoch(
     label_smoothing: float = 0.0,
     softmax_before_ce: bool = False,
     axis: str = DATA_AXIS,
+    compute_dtype=None,
+    grad_norms: bool = False,
+    impl: str = "scan",
 ):
     """Whole-epoch jitted scan with batch compute sharded across the mesh.
 
-    state: replicated; data: replicated (or sample-sharded); the per-step
-    batch is constrained to ``P(axis)`` so XLA partitions forward/backward
-    across chips and all-reduces gradients.
+    A thin wrapper over :func:`train.loop.make_train_epoch` with a batch
+    sharding constraint — so the data-parallel epoch has every capability of
+    the single-device one (bf16 compute, per-step grad norms, host/scan
+    impl). state: replicated; data: replicated (or sample-sharded); the
+    per-step batch is constrained to ``P(axis)`` so XLA partitions
+    forward/backward across chips and all-reduces gradients.
     """
-    train_step = make_train_step(model, optimizer, label_smoothing, softmax_before_ce)
-    batch_spec = P(axis)
+    from fall_multimodal_tpu.train.loop import make_train_epoch
 
-    def constrain(batch: DeviceData) -> DeviceData:
-        return DeviceData(
-            features=jax.lax.with_sharding_constraint(
-                batch.features, NamedSharding(mesh, batch_spec)
-            ),
-            labels=jax.lax.with_sharding_constraint(
-                batch.labels, NamedSharding(mesh, batch_spec)
-            ),
-            sensors=jax.lax.with_sharding_constraint(
-                batch.sensors, NamedSharding(mesh, batch_spec)
-            ),
-        )
+    return make_train_epoch(
+        model, optimizer, label_smoothing, softmax_before_ce,
+        compute_dtype=compute_dtype, grad_norms=grad_norms, impl=impl,
+        batch_sharding=batch_sharded(mesh, axis),
+    )
 
-    @jax.jit
-    def epoch(state: TrainState, data: DeviceData, batch_idx: jnp.ndarray):
-        def body(st, idx):
-            return train_step(st, constrain(gather_batch(data, idx)))
 
-        state, metrics = jax.lax.scan(body, state, batch_idx)
-        return state, jax.tree.map(jnp.mean, metrics)
+def make_parallel_eval_epoch(
+    model,
+    num_classes: int,
+    mesh: Mesh,
+    label_smoothing: float = 0.0,
+    softmax_before_ce: bool = False,
+    axis: str = DATA_AXIS,
+):
+    """Sharded eval epoch: per-batch forward partitioned across the mesh
+    (confusion-matrix partial sums all-reduce over ICI)."""
+    from fall_multimodal_tpu.train.loop import make_eval_epoch
 
-    return epoch
+    return make_eval_epoch(
+        model, num_classes, label_smoothing, softmax_before_ce,
+        batch_sharding=batch_sharded(mesh, axis),
+    )
 
 
 def make_parallel_train_step(
@@ -115,10 +121,13 @@ def make_parallel_train_step(
     label_smoothing: float = 0.0,
     softmax_before_ce: bool = False,
     axis: str = DATA_AXIS,
+    compute_dtype=None,
 ):
     """Single pjit-ted train step with explicit in/out shardings (the unit
     the driver compile-checks multi-chip)."""
-    step = make_train_step(model, optimizer, label_smoothing, softmax_before_ce)
+    step = make_train_step(
+        model, optimizer, label_smoothing, softmax_before_ce, compute_dtype
+    )
     repl = replicated(mesh)
     shard = batch_sharded(mesh, axis)
 

