@@ -1,16 +1,28 @@
-"""Benchmark harness: flagship 3-stream GSTCAN training throughput.
+"""Benchmark harness: per-family training throughput on the real chip.
 
-Measures the framework's actual execution model — whole scanned epochs
-(on-device shuffle + batch gather + fwd+bwd+update per step, zero host
-round-trips) — on the BASELINE.json north-star workload (UR-Fall 3-stream:
-pts STGCAN + motion STGCAN + CNN_BiLSTM sensor). Prints ONE JSON line:
+Default (no args): the flagship 3-stream GSTCAN — the BASELINE.json
+north-star workload (UR-Fall 3-stream: pts STGCAN + motion STGCAN +
+CNN_BiLSTM sensor). Measures the framework's actual execution model — whole
+scanned epochs (on-device shuffle + batch gather + fwd+bwd+update per step,
+zero host round-trips) — and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "windows/sec", "vs_baseline": N}
+
+``--family {gstcan3,bilstm,cnn_bilstm,musa,targcn,transformer}`` reproduces
+the corresponding row of PARITY.md's per-family throughput table with the
+same measurement discipline (VERDICT r2 item 3: every row re-derivable from
+one committed command). ``--family musa --cost-split`` additionally times
+the DropGraph-disabled model (keep_prob=1.0 compiles the masks away), the
+per-block-shared mask pipeline, and bf16 — the committed artifact behind
+the "DropGraph masks dominate musa" claim.
 
 Baseline: the PyTorch reference model (notebook-canonical
 ``TwoStreamSpatialTemporalGraph`` from ``GSTCAN_UR_conv.ipynb``) measured on
 this machine's CPU (1 core, torch 2.x, batch 32, fwd+bwd+RMSprop step):
-5.98 windows/sec. BASELINE.md's target is >= 20x that per chip.
+5.98 windows/sec. BASELINE.md's target is >= 20x that per chip. The other
+families have no reference throughput at all (the reference's only
+instrumentation is a per-step ETA, ``main.py:137-142``); their
+``vs_baseline`` is reported against the same 5.98 w/s for scale.
 
 Measurement notes (v5e):
 * CRITICAL: on this axon remote-TPU platform ``block_until_ready`` returns
@@ -19,7 +31,7 @@ Measurement notes (v5e):
   throughput by >100x; early round-1 numbers were corrected for this.)
 * batch 4096 compiles as of round 2 (the round-1 crash was transient) but
   8192 still crashes the remote compile helper; throughput is flat across
-  1024-4096, 2048 stays the default.
+  1024-4096, 2048 stays the flagship default.
 * round 2: the GCN runs in dense mode by default (adjacency folded into
   the weights, models/layers.py GraphConv.dense_mode) — measured +49%
   (9.15k -> 13.6k windows/s) on the HBM-bound step.
@@ -37,49 +49,30 @@ import numpy as np
 
 REFERENCE_CPU_WINDOWS_PER_SEC = 5.98
 
-
-def build_flagship(batch_size: int):
-    """Isolated train step (kept for kernel-level comparisons)."""
-    from fall_multimodal_tpu.configs import load_config, preset_path
-    from fall_multimodal_tpu.data.pipeline import DeviceData
-    from fall_multimodal_tpu.models import build_model
-    from fall_multimodal_tpu.train import build_optimizer, create_train_state
-    from fall_multimodal_tpu.train.loop import make_train_step
-
-    cfg = load_config(preset_path("gstcan_urfall_3stream"))
-    model = build_model(cfg)
-    optimizer = build_optimizer(cfg)
-
-    rng = np.random.default_rng(0)
-    skel = jnp.asarray(rng.normal(size=(batch_size, 30, 14, 3)), jnp.float32)
-    sensor = jnp.asarray(rng.normal(size=(batch_size, 30, 4)), jnp.float32)
-    labels = jax.nn.softmax(jnp.asarray(rng.normal(size=(batch_size, 2)), jnp.float32))
-    batch = DeviceData(features=skel, labels=labels, sensors=sensor)
-
-    state = create_train_state(model, optimizer, skel[:2], sensor[:2], seed=0)
-    step = jax.jit(
-        make_train_step(
-            model, optimizer, softmax_before_ce=cfg.model.softmax_output
-        ),
-        donate_argnums=(0,),
-    )
-    return step, state, batch
+# family -> (preset, default batch, sensor_dim, num_classes, default dtype)
+# batches and dtypes are the PARITY.md table's measurement points (the
+# dtype is each family's measured winner; --dtype overrides).
+FAMILIES = {
+    "gstcan3": ("gstcan_urfall_3stream", 2048, 4, 2, "bfloat16"),
+    "bilstm": ("bilstm", 1024, 15, 11, "bfloat16"),
+    "cnn_bilstm": ("sensor_cnn_bilstm_urfall", 1024, 4, 2, "float32"),
+    "musa": ("musa_harup", 1024, 15, 11, "float32"),
+    "targcn": ("targcn_harup", 1024, 15, 11, "bfloat16"),
+    "transformer": ("skeleton_transformer_harup", 512, 15, 11, "bfloat16"),
+}
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=2048)
-    parser.add_argument("--windows", type=int, default=16384,
-                        help="device-resident dataset size")
-    parser.add_argument("--epochs", type=int, default=5,
-                        help="timed scanned epochs")
-    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
-                        default="bfloat16",
-                        help="compute dtype (bf16 measured ~15%% faster and "
-                             "matches the reference Gen-3 autocast; params "
-                             "stay f32 either way)")
-    args = parser.parse_args()
-
+def measure(
+    preset: str,
+    batch_size: int,
+    sensor_dim: int,
+    num_classes: int,
+    dtype: str,
+    windows: int = 16384,
+    epochs: int = 5,
+    overrides=None,
+):
+    """Scanned-epoch training throughput (windows/sec), value-fetch synced."""
     from fall_multimodal_tpu.configs import load_config, preset_path
     from fall_multimodal_tpu.data import (
         epoch_batch_indices, make_synthetic, to_device,
@@ -89,9 +82,10 @@ def main():
         build_optimizer, create_train_state, make_train_epoch,
     )
 
-    cfg = load_config(preset_path("gstcan_urfall_3stream"))
+    cfg = load_config(preset_path(preset), overrides=overrides or {})
     data = make_synthetic(
-        n_windows=args.windows, num_classes=2, sensor_dim=4, seed=0
+        n_windows=windows, num_classes=num_classes, sensor_dim=sensor_dim,
+        seed=0,
     )
     dev = to_device(data)
     model = build_model(cfg)
@@ -99,32 +93,107 @@ def main():
     state = create_train_state(
         model, optimizer, dev.features[:2], dev.sensors[:2], seed=0
     )
-    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
     epoch = make_train_epoch(
         model, optimizer, softmax_before_ce=cfg.model.softmax_output,
         compute_dtype=compute_dtype,
     )
 
-    warm_idx = epoch_batch_indices(jax.random.key(0), dev.n, args.batch_size)
+    warm_idx = epoch_batch_indices(jax.random.key(0), dev.n, batch_size)
     state, metrics = epoch(state, dev, warm_idx)           # compile
     float(metrics["loss"])                                 # real sync (see notes)
     steps = warm_idx.shape[0]
 
     t0 = time.perf_counter()
-    for e in range(args.epochs):
-        idx = epoch_batch_indices(jax.random.key(e + 1), dev.n, args.batch_size)
+    for e in range(epochs):
+        idx = epoch_batch_indices(jax.random.key(e + 1), dev.n, batch_size)
         state, metrics = epoch(state, dev, idx)
     float(metrics["loss"])                                 # value fetch = sync
     dt = time.perf_counter() - t0
+    wps = epochs * steps * batch_size / dt
+    return {
+        "windows_per_sec": round(wps, 2),
+        "ms_per_step": round(1000 * dt / (epochs * steps), 3),
+        "batch": batch_size,
+        "dtype": dtype,
+        "steps_per_epoch": steps,
+    }
 
-    windows_per_sec = args.epochs * steps * args.batch_size / dt
+
+def musa_cost_split(batch_size: int, windows: int, epochs: int):
+    """The committed artifact behind the musa DropGraph cost claim: times
+    the shipped model, the DropGraph-free model (keep_prob=1.0 — every mask
+    pipeline compiles away), and both in bf16. The DropGraph share of the
+    step is 1 - t_nodrop/t_full."""
+    rows = {}
+    for tag, dtype, kp in (
+        ("full_f32", "float32", None),
+        ("full_bf16", "bfloat16", None),
+        ("nodrop_f32", "float32", 1.0),
+        ("nodrop_bf16", "bfloat16", 1.0),
+    ):
+        overrides = {}
+        if kp is not None:
+            overrides["model.kwargs.keep_prob"] = kp
+        rows[tag] = measure(
+            "musa_harup", batch_size, 15, 11, dtype,
+            windows=windows, epochs=epochs, overrides=overrides,
+        )
+    f, nf = rows["full_f32"], rows["nodrop_f32"]
+    rows["dropgraph_fraction_of_step_f32"] = round(
+        1.0 - nf["ms_per_step"] / f["ms_per_step"], 4
+    )
+    rows["dropgraph_ms_per_step_f32"] = round(
+        f["ms_per_step"] - nf["ms_per_step"], 3
+    )
+    return rows
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", choices=sorted(FAMILIES), default="gstcan3",
+                        help="PARITY.md per-family table row to reproduce")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--windows", type=int, default=16384,
+                        help="device-resident dataset size")
+    parser.add_argument("--epochs", type=int, default=5,
+                        help="timed scanned epochs")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default=None,
+                        help="compute dtype (default: the family's measured "
+                             "winner; params stay f32 either way)")
+    parser.add_argument("--cost-split", action="store_true",
+                        help="with --family musa: emit the DropGraph "
+                             "on/off/bf16 cost decomposition")
+    args = parser.parse_args()
+
+    preset, d_batch, sensor_dim, num_classes, d_dtype = FAMILIES[args.family]
+    batch = args.batch_size or d_batch
+    dtype = args.dtype or d_dtype
+
+    if args.cost_split:
+        if args.family != "musa":
+            raise SystemExit("--cost-split is defined for --family musa")
+        rows = musa_cost_split(batch, args.windows, args.epochs)
+        print(json.dumps({"metric": "musa_cost_split", **rows}))
+        return
+
+    r = measure(preset, batch, sensor_dim, num_classes, dtype,
+                windows=args.windows, epochs=args.epochs)
+    metric = (
+        "ur_fall_3stream_train_throughput"
+        if args.family == "gstcan3"
+        else f"{args.family}_train_throughput"
+    )
     print(
         json.dumps(
             {
-                "metric": "ur_fall_3stream_train_throughput",
-                "value": round(windows_per_sec, 2),
+                "metric": metric,
+                "value": r["windows_per_sec"],
                 "unit": "windows/sec",
-                "vs_baseline": round(windows_per_sec / REFERENCE_CPU_WINDOWS_PER_SEC, 2),
+                "vs_baseline": round(
+                    r["windows_per_sec"] / REFERENCE_CPU_WINDOWS_PER_SEC, 2
+                ),
             }
         )
     )

@@ -3,7 +3,12 @@ from fall_multimodal_tpu.models.fusion import (
     ThreeStreamGSTCAN,
     TwoStreamSTGCAN,
 )
-from fall_multimodal_tpu.models.registry import build_model, model_names, register
+from fall_multimodal_tpu.models.registry import (
+    build_model,
+    model_names,
+    register,
+    uses_sensor,
+)
 from fall_multimodal_tpu.models.sensors import (
     BiLSTMHead,
     Cnn1d,
@@ -30,4 +35,5 @@ __all__ = [
     "model_names",
     "motion_stream",
     "register",
+    "uses_sensor",
 ]

@@ -35,6 +35,25 @@ def model_names():
     return sorted(_REGISTRY)
 
 
+# Families whose forward actually reads the sensor stream (the rest accept
+# it positionally and ignore it — the uniform (skeleton, sensor) contract).
+_SENSOR_CONSUMERS = {
+    "bilstm",
+    "cnn_bilstm",
+    "two_stgcan_bilstm",
+    "gstcan_3stream",
+    "transformer_ensemble",
+}
+
+
+def uses_sensor(name: str) -> bool:
+    """True if the named model family consumes the sensor stream (serving
+    must refuse ``sensor=None`` for these instead of zero-filling)."""
+    if name not in _REGISTRY:
+        raise ValueError(f"Unknown model {name!r}; available: {model_names()}")
+    return name in _SENSOR_CONSUMERS
+
+
 def build_model(config: Config) -> nn.Module:
     name = config.model.name
     if name not in _REGISTRY:

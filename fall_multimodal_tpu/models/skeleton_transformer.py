@@ -22,36 +22,41 @@ import numpy as np
 
 
 class RelPosMHSA(nn.Module):
-    """Relative-position MHSA over the second-to-last axis
+    """Relative-position MHSA over a chosen token axis
     (``skeleton_transformer.py:100-157``).
 
-    x: (..., L, C). Attention over L with a learnable (2L-1, head_dim) bias
-    table indexed by pairwise offsets, added as q . bias[rel] before softmax.
-    The reference scales only the content logits (``dot_prod * scale``), not
-    the positional term — reproduced.
+    ``axis=-2``: x is (..., L, C), attention over L. ``axis=-3``: x is
+    (..., L, V, C), attention over L with V untouched — the temporal
+    attention runs in the resident (N, M, T, V, C) layout with NO
+    transposes (round-2 ran it as swapaxes -> attend -> swapaxes; the
+    copies were pure overhead at these tiny shapes).
+
+    The learnable (2L-1, head_dim) bias table indexed by pairwise offsets
+    is added as q . bias[rel] before softmax; computed as one
+    (tokens, HD) x (HD, 2L-1) matmul followed by a take_along_axis gather
+    (the Swin trick) instead of materializing the (L, L, HD) table and
+    contracting per query — identical sums, one MXU matmul instead of a
+    per-row einsum. The reference scales only the content logits
+    (``dot_prod * scale``), not the positional term — reproduced.
     """
 
     head_dim: int = 16
     n_heads: int = 8
     seq_len: int = 32  # table size; attention length must equal this
+    axis: int = -2     # token axis: -2 (last before C) or -3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c_in = x.shape[-1]
-        l = x.shape[-2]
+        l = x.shape[self.axis]
         h, hd = self.n_heads, self.head_dim
         e = h * hd
 
         qkv = nn.Dense(3 * e, name="w_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):  # (..., L, E) -> (..., H, L, HD)
-            t = t.reshape(t.shape[:-1] + (h, hd))
-            return jnp.swapaxes(t, -2, -3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-
-        logits = jnp.einsum("...id,...jd->...ij", q, k) * (e ** -0.5)
+        q = q.reshape(q.shape[:-1] + (h, hd))   # (..., [V,] H, HD)
+        k = k.reshape(k.shape[:-1] + (h, hd))
+        v = v.reshape(v.shape[:-1] + (h, hd))
 
         table = self.param(
             "rel_pos_bias",
@@ -59,12 +64,27 @@ class RelPosMHSA(nn.Module):
             (2 * self.seq_len - 1, hd),
         )
         rel = np.arange(l)[:, None] - np.arange(l)[None, :] + self.seq_len - 1
-        pos_bias = table[jnp.asarray(rel)]                     # (L, L, HD)
-        logits = logits + jnp.einsum("...id,ijd->...ij", q, pos_bias)
+        rel = jnp.asarray(rel)                                  # (L, L)
 
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("...ij,...jd->...id", attn, v)
-        out = jnp.swapaxes(out, -2, -3)
+        if self.axis == -2:
+            logits = jnp.einsum("...ihd,...jhd->...hij", q, k) * (e ** -0.5)
+            qb = jnp.einsum("...ihd,rd->...hir", q, table)      # (..., H, L, R)
+            pos = jnp.take_along_axis(
+                qb, jnp.broadcast_to(rel, qb.shape[:-1] + (l,)), axis=-1
+            )
+            attn = jax.nn.softmax(logits + pos, axis=-1)
+            out = jnp.einsum("...hij,...jhd->...ihd", attn, v)
+        elif self.axis == -3:
+            logits = jnp.einsum("...ivhd,...jvhd->...vhij", q, k) * (e ** -0.5)
+            qb = jnp.einsum("...ivhd,rd->...vhir", q, table)
+            pos = jnp.take_along_axis(
+                qb, jnp.broadcast_to(rel, qb.shape[:-1] + (l,)), axis=-1
+            )
+            attn = jax.nn.softmax(logits + pos, axis=-1)
+            out = jnp.einsum("...vhij,...jvhd->...ivhd", attn, v)
+        else:
+            raise ValueError(f"axis must be -2 or -3, got {self.axis}")
+
         out = out.reshape(out.shape[:-2] + (e,))
         return nn.Dense(c_in, name="merge")(out)
 
@@ -137,14 +157,15 @@ class B2TSpatialTemporalBlock(nn.Module):
         out = x + sd(spatial(x), train)
         out = norm("norm1", out)
 
-        # temporal: swap T and V so attention runs over T
-        out_t = jnp.swapaxes(out, -3, -2)                    # (N, M, V, T, C)
+        # temporal attention over T directly in the (..., T, V, C) layout
+        # (axis=-3) — no transposes; norms are channel-wise, so the
+        # reference's swap -> attend -> swap is numerically identical
         temporal = RelPosMHSA(
-            self.head_dim, self.n_heads, self.seq_len, name="temporal_attn"
+            self.head_dim, self.n_heads, self.seq_len, axis=-3,
+            name="temporal_attn",
         )
-        out_t = out_t + sd(temporal(out_t), train)
-        out_t = norm("norm2", out_t)
-        out = jnp.swapaxes(out_t, -3, -2)                    # back to (..., T, V, C)
+        out = out + sd(temporal(out), train)
+        out = norm("norm2", out)
 
         ffn = FFN(self.ffn_expand, self.ffn_dropout, name="ffn")
         out = out + sd(ffn(out, train), train)
@@ -170,11 +191,9 @@ class PreNormBlock(nn.Module):
         spatial = RelPosMHSA(self.head_dim, self.n_heads, self.n_joints,
                              name="spatial_attn")
         temporal = RelPosMHSA(self.head_dim, self.n_heads, self.seq_len,
-                              name="temporal_attn")
+                              axis=-3, name="temporal_attn")
         x = x + spatial(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
-        x_t = jnp.swapaxes(x, -3, -2)
-        x_t = nn.LayerNorm(epsilon=1e-5, name="norm2")(x_t)
-        x = x + jnp.swapaxes(temporal(x_t), -3, -2)
+        x = x + temporal(nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         out = FFN(self.ffn_expand, self.ffn_dropout, name="ffn")(
             nn.LayerNorm(epsilon=1e-5, name="norm3")(x), train
         )
@@ -216,9 +235,9 @@ class ParallelB2TBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         spatial = RelPosMHSA(self.head_dim, self.n_heads, self.n_joints, name="spatial_attn")
-        temporal = RelPosMHSA(self.head_dim, self.n_heads, self.seq_len, name="temporal_attn")
-        x_t = jnp.swapaxes(x, -3, -2)
-        out = x + spatial(x) + jnp.swapaxes(temporal(x_t), -3, -2)
+        temporal = RelPosMHSA(self.head_dim, self.n_heads, self.seq_len,
+                              axis=-3, name="temporal_attn")
+        out = x + spatial(x) + temporal(x)
         out = nn.LayerNorm(epsilon=1e-5, name="norm1")(out)
         out = out + FFN(self.ffn_expand, self.ffn_dropout, name="ffn")(out, train)
         out = x + out

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fall_multimodal_tpu.configs import Config
-from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.models import build_model, uses_sensor
 from fall_multimodal_tpu.train.loop import k_copies_logits
 
 
@@ -45,6 +45,9 @@ class Predictor:
         self.variables = variables
         self.batch_size = batch_size
         self.num_copies = num_copies
+        # sensor-consuming families must refuse sensor=None instead of
+        # silently classifying on zeroed sensors (round-2 weakness #3)
+        self.requires_sensor = uses_sensor(config.model.name)
 
         def forward(variables, skeleton, sensor):
             if num_copies > 1:
@@ -54,6 +57,16 @@ class Predictor:
             return self.model.apply(variables, skeleton, sensor, train=False)
 
         self._forward = jax.jit(forward)
+
+    def with_batch_size(self, batch_size: int) -> "Predictor":
+        """A predictor over the same weights compiled at a different batch
+        (e.g. batch 1 for streaming) — no checkpoint reload."""
+        if batch_size == self.batch_size:
+            return self
+        return Predictor(
+            self.config, self.variables,
+            batch_size=batch_size, num_copies=self.num_copies,
+        )
 
     @classmethod
     def from_checkpoint(
@@ -87,6 +100,14 @@ class Predictor:
     ) -> np.ndarray:
         n = len(skeleton)
         if sensor is None:
+            if self.requires_sensor:
+                raise ValueError(
+                    f"model {self.config.model.name!r} consumes the sensor "
+                    "stream; pass sensor=(N, T, S) windows (zero-filling "
+                    "would silently classify on fabricated sensor data)"
+                )
+            # skeleton-only models ignore the stream; a (N,1,1) placeholder
+            # keeps the uniform (skeleton, sensor) forward contract
             sensor = np.zeros((n, 1, 1), np.float32)
         outs = []
         for start in range(0, n, self.batch_size):
@@ -147,10 +168,17 @@ class StreamingClassifier:
     online equivalent of the offline stride-1 windowing. ``smooth`` > 1
     majority-votes over the last k decisions (cheap temporal smoothing for
     alarm stability).
+
+    Latency: each push runs exactly ONE window through a batch-1 compiled
+    forward — the classifier derives a batch-1 predictor over the same
+    weights at construction (one extra compile), instead of padding the
+    single window up to the offline predictor's batch (the round-2 path
+    wasted ~batch_size x compute per push). Measured p50/p99 per-push
+    latency on v5e: PARITY.md "Serving latency".
     """
 
     def __init__(self, predictor: Predictor, seq_len: int = 30, smooth: int = 1):
-        self.predictor = predictor
+        self.predictor = predictor.with_batch_size(1)
         self.seq_len = seq_len
         self.smooth = max(1, smooth)
         self._pose: list = []
@@ -180,3 +208,54 @@ class StreamingClassifier:
         self._votes.append(pred)
         self._votes = self._votes[-self.smooth :]
         return int(np.bincount(self._votes).argmax())
+
+
+def measure_push_latency(
+    classifier: StreamingClassifier,
+    n_pushes: int = 200,
+    warmup: int = 20,
+    n_joints: int = 14,
+    in_channels: int = 3,
+    sensor_dim: Optional[int] = None,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Per-push latency of the streaming path (p50/p99/mean, ms).
+
+    Pushes synthetic frames through ``classifier.push`` and times each call.
+    ``predict`` fetches logit values to host, which is a true device sync on
+    every platform (the axon remote-TPU ``block_until_ready`` returns early;
+    value fetch is the reliable barrier — bench.py measurement notes).
+    """
+    import time
+
+    rng = np.random.default_rng(seed)
+
+    def frame():
+        pose = rng.normal(size=(n_joints, in_channels)).astype(np.float32)
+        sens = (
+            rng.normal(size=(sensor_dim,)).astype(np.float32)
+            if sensor_dim
+            else None
+        )
+        return pose, sens
+
+    classifier.reset()
+    # fill the window + compile + warm the dispatch path
+    for _ in range(classifier.seq_len + warmup):
+        pose, sens = frame()
+        classifier.push(pose, sens)
+
+    samples = []
+    for _ in range(n_pushes):
+        pose, sens = frame()
+        t0 = time.perf_counter()
+        classifier.push(pose, sens)
+        samples.append((time.perf_counter() - t0) * 1e3)
+    arr = np.asarray(samples)
+    return {
+        "p50_ms": float(np.percentile(arr, 50)),
+        "p90_ms": float(np.percentile(arr, 90)),
+        "p99_ms": float(np.percentile(arr, 99)),
+        "mean_ms": float(arr.mean()),
+        "n": int(arr.size),
+    }

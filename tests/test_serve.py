@@ -80,3 +80,83 @@ def test_stablehlo_export_roundtrip(trained):
     )
     expect = pred.predict_logits(data.features[:4], data.sensors[:4])
     np.testing.assert_allclose(np.asarray(logits), expect, atol=1e-5)
+
+
+def test_streaming_uses_batch1_compile(trained):
+    """StreamingClassifier must derive a batch-1 predictor instead of
+    padding each push to the offline batch (round-2: ~128x wasted compute
+    per push)."""
+    cfg, ckpt_dir, data = trained
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=128,
+    )
+    stream = StreamingClassifier(pred, seq_len=30)
+    assert stream.predictor.batch_size == 1
+    # same weights, no reload
+    assert stream.predictor.variables is pred.variables
+    # an already-batch-1 predictor is reused as-is
+    pred1 = pred.with_batch_size(1)
+    assert StreamingClassifier(pred1).predictor is pred1
+
+
+def test_streaming_batch1_matches_offline(trained):
+    """The batch-1 streaming decision equals the offline batch prediction
+    on the same window."""
+    cfg, ckpt_dir, data = trained
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=64,
+    )
+    stream = StreamingClassifier(pred, seq_len=30)
+    for t in range(30):
+        decision = stream.push(data.features[0, t], data.sensors[0, t])
+    offline = pred.predict(data.features[:1], data.sensors[:1])[0]
+    assert decision == int(offline)
+
+
+def test_sensor_none_raises_for_sensor_consuming_model(trained):
+    cfg, ckpt_dir, data = trained  # bilstm: a sensor-consuming family
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=8,
+    )
+    assert pred.requires_sensor
+    with pytest.raises(ValueError, match="sensor"):
+        pred.predict_logits(data.features[:8])
+
+
+def test_sensor_none_ok_for_skeleton_only_model():
+    """Skeleton-only families accept sensor=None (placeholder keeps the
+    uniform forward contract, never consumed)."""
+    import jax
+
+    from fall_multimodal_tpu.models import build_model
+
+    cfg = load_config(
+        preset_path("bilstm"),
+        overrides={"model.name": "stgcan", "data.num_classes": 3},
+    )
+    model = build_model(cfg)
+    skel = np.random.default_rng(0).normal(size=(4, 30, 14, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.key(0), skel, np.zeros((4, 1, 1), np.float32), train=False
+    )
+    pred = Predictor(cfg, variables, batch_size=4)
+    assert not pred.requires_sensor
+    logits = pred.predict_logits(skel)
+    assert logits.shape == (4, 3)
+
+
+def test_measure_push_latency_runs(trained):
+    """The latency harness exercises the real streaming path and returns
+    ordered percentiles (actual v5e numbers live in PARITY.md)."""
+    from fall_multimodal_tpu.serve import measure_push_latency
+
+    cfg, ckpt_dir, data = trained
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=32,
+    )
+    stream = StreamingClassifier(pred, seq_len=30)
+    stats = measure_push_latency(
+        stream, n_pushes=10, warmup=2, sensor_dim=6,
+    )
+    assert stats["n"] == 10
+    assert 0 < stats["p50_ms"] <= stats["p90_ms"] <= stats["p99_ms"]
