@@ -32,12 +32,15 @@ class RelPosMHSA(nn.Module):
     copies were pure overhead at these tiny shapes).
 
     The learnable (2L-1, head_dim) bias table indexed by pairwise offsets
-    is added as q . bias[rel] before softmax; computed as one
-    (tokens, HD) x (HD, 2L-1) matmul followed by a take_along_axis gather
-    (the Swin trick) instead of materializing the (L, L, HD) table and
-    contracting per query — identical sums, one MXU matmul instead of a
-    per-row einsum. The reference scales only the content logits
-    (``dot_prod * scale``), not the positional term — reproduced.
+    is added as q . bias[rel] before softmax. The (L, L, HD) relative table
+    is expanded with ONE tiny gather over the (2L-1, HD) parameter and then
+    contracted against q as a batched matmul — the alternative
+    (big matmul against the raw table + per-(i,j) take_along_axis) was
+    measured 40x SLOWER on v5e: the gather runs over a (B,V,H,T,2T-1)
+    operand's minor axis, which XLA lowers to a serialized gather
+    (experiments/transformer_speed.py round-3 notes). The reference scales
+    only the content logits (``dot_prod * scale``), not the positional
+    term — reproduced.
     """
 
     head_dim: int = 16
@@ -64,22 +67,16 @@ class RelPosMHSA(nn.Module):
             (2 * self.seq_len - 1, hd),
         )
         rel = np.arange(l)[:, None] - np.arange(l)[None, :] + self.seq_len - 1
-        rel = jnp.asarray(rel)                                  # (L, L)
+        pos_tab = table[jnp.asarray(rel)]                       # (L, L, HD)
 
         if self.axis == -2:
             logits = jnp.einsum("...ihd,...jhd->...hij", q, k) * (e ** -0.5)
-            qb = jnp.einsum("...ihd,rd->...hir", q, table)      # (..., H, L, R)
-            pos = jnp.take_along_axis(
-                qb, jnp.broadcast_to(rel, qb.shape[:-1] + (l,)), axis=-1
-            )
+            pos = jnp.einsum("...ihd,ijd->...hij", q, pos_tab)
             attn = jax.nn.softmax(logits + pos, axis=-1)
             out = jnp.einsum("...hij,...jhd->...ihd", attn, v)
         elif self.axis == -3:
             logits = jnp.einsum("...ivhd,...jvhd->...vhij", q, k) * (e ** -0.5)
-            qb = jnp.einsum("...ivhd,rd->...vhir", q, table)
-            pos = jnp.take_along_axis(
-                qb, jnp.broadcast_to(rel, qb.shape[:-1] + (l,)), axis=-1
-            )
+            pos = jnp.einsum("...ivhd,ijd->...vhij", q, pos_tab)
             attn = jax.nn.softmax(logits + pos, axis=-1)
             out = jnp.einsum("...vhij,...jvhd->...ivhd", attn, v)
         else:
@@ -282,9 +279,10 @@ class SkeletonTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
+        # (N, T, V, C) stays 4-D — blocks index axes from the right, and a
+        # size-1 persons dim just degrades tiling; (N, M, T, V, C) keeps M
         x = skeleton
-        if x.ndim == 4:
-            x = x[:, None]                                  # add M=1 persons
+        has_m = x.ndim == 5
         # embed: Linear(C -> E/2) GELU Linear(E/2 -> E) GELU
         y = nn.Dense(self.embedding_dim // 2, name="embed1")(x)
         y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
@@ -316,6 +314,7 @@ class SkeletonTransformer(nn.Module):
             y = jnp.swapaxes(y, -3, -2)
 
         # pool over (T, V), mean over persons M, then 1x1 head
-        y = y.mean(axis=(2, 3))                              # (N, M, C)
-        y = y.mean(axis=1)                                   # (N, C)
+        y = y.mean(axis=(-3, -2))                            # (N, [M,] C)
+        if has_m:
+            y = y.mean(axis=1)                               # (N, C)
         return nn.Dense(self.num_classes, name="head")(y)
