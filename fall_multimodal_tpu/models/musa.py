@@ -107,9 +107,108 @@ class DropBlockT(nn.Module):
         return x * mask[:, :, None, None] * (mask.size / keep_frac)
 
 
+def _branch_normalize(act: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Reference per-call activity normalization ``act/act.sum()*act.size``
+    (``musa_model.py:54-56,84-86``) applied per branch of a stacked
+    (nb*n, L) activity matrix."""
+    parts = act.reshape(nb, -1)
+    parts = parts / parts.sum(axis=1, keepdims=True) * parts.shape[1]
+    return parts.reshape(act.shape)
+
+
+def _dropgraph_masks(key, a3, nb, keep_prob, A, block_size):
+    """One mask pipeline for ``DropBlockT(DropBlockSke(.))`` over ``nb``
+    stacked branches (VERDICT r2 item 4 restructure).
+
+    ``a3`` is the stacked ``stop_gradient(|x|.mean(channel))`` activity,
+    (nb*n, T, V). Returns ``(mask_s (nb*n, V), mask_t (nb*n, T),
+    scale (nb,))`` such that ``x * mask_s * mask_t * scale[branch]`` is
+    distributionally identical to the two sequential reference modules
+    (``musa_model.py:39-98``): per-branch activity normalization and
+    rescale, independent Bernoulli draws, one shared time permutation per
+    branch. The temporal stage's activity is derived from the spatial-
+    dropped tensor WITHOUT re-reading it: ``|x*mask_s*scale_s|`` averaged
+    over (V, C) equals ``scale_s * (a3*mask_s).mean(V)``, and the
+    normalization divides ``scale_s`` back out — so the whole pipeline
+    runs on (n, T, V)-sized statistics, one pass over the full tensor to
+    build ``a3`` and one fused multiply to apply (vs 4 reduce+multiply
+    passes for the per-module path), halving the mask pipeline's HBM
+    traffic and kernel count.
+    """
+    nall, t, v = a3.shape
+    key_s, key_t, key_p = jax.random.split(key, 3)
+    dtype = a3.dtype
+
+    # spatial stage (DropBlockSke semantics)
+    act_s = _branch_normalize(a3.mean(axis=1), nb)           # (nb*n, V)
+    denom = 1.9 if v == 20 else 1.92
+    gamma_s = (1.0 - keep_prob) / (1.0 + denom)
+    probs_s = jnp.clip(act_s * gamma_s, 0.0, 1.0).astype(jnp.float32)
+    seed = jax.random.bernoulli(key_s, probs_s).astype(dtype)
+    A2 = A[0] if A.ndim == 3 else A
+    dropped = ((seed @ A2.astype(dtype)) > 0.001).astype(dtype)
+    mask_s = 1.0 - dropped                                   # (nb*n, V)
+    keep_s = mask_s.reshape(nb, -1).sum(axis=1)
+    scale_s = (mask_s.size / nb) / jnp.maximum(keep_s, 1.0)  # (nb,)
+
+    # temporal stage (DropBlockT semantics) on the spatial-dropped activity
+    act_t = _branch_normalize((a3 * mask_s[:, None, :]).mean(axis=-1), nb)
+    gamma_t = (1.0 - keep_prob) / block_size
+    probs_t = jnp.clip(act_t * gamma_t, 0.0, 1.0).astype(jnp.float32)
+    m = jax.random.bernoulli(key_t, probs_t).astype(dtype)
+    pad = block_size // 2
+    mp = jnp.pad(m, ((0, 0), (pad, pad)))
+    widened = jax.lax.reduce_window(
+        mp, -jnp.inf, jax.lax.max, (1, block_size), (1, 1), "valid"
+    )
+    widened = jnp.maximum(widened, 0.0)[:, :t]
+    # one time permutation per branch, shared across that branch's batch
+    perms = jnp.stack(
+        [jax.random.permutation(k, t) for k in jax.random.split(key_p, nb)]
+    )
+    wb = widened.reshape(nb, -1, t)
+    shuffled = jnp.take_along_axis(
+        wb, jnp.broadcast_to(perms[:, None, :], wb.shape), axis=-1
+    )
+    mask_t = 1.0 - shuffled.reshape(nall, t)                 # (nb*n, T)
+    keep_t = mask_t.reshape(nb, -1).sum(axis=1)
+    scale_t = (mask_t.size / nb) / jnp.maximum(keep_t, 1.0)
+    return mask_s, mask_t, scale_s * scale_t
+
+
+def _apply_drop_pair(key, y, res, keep_prob, A, block_size):
+    """Fused DropGraph on (main, residual): masks from one stacked
+    pipeline, applied as one fused multiply per branch."""
+    a3 = jnp.concatenate([
+        jax.lax.stop_gradient(jnp.abs(y).mean(axis=-1)),
+        jax.lax.stop_gradient(jnp.abs(res).mean(axis=-1)),
+    ])
+    mask_s, mask_t, scale = _dropgraph_masks(
+        key, a3, 2, keep_prob, A, block_size
+    )
+    ms_y, ms_r = jnp.split(mask_s, 2)
+    mt_y, mt_r = jnp.split(mask_t, 2)
+    y = y * (ms_y[:, None, :, None] * mt_y[:, :, None, None] * scale[0])
+    res = res * (ms_r[:, None, :, None] * mt_r[:, :, None, None] * scale[1])
+    return y, res
+
+
+def _apply_drop_single(key, y, keep_prob, A, block_size):
+    a3 = jax.lax.stop_gradient(jnp.abs(y).mean(axis=-1))
+    mask_s, mask_t, scale = _dropgraph_masks(
+        key, a3, 1, keep_prob, A, block_size
+    )
+    return y * (mask_s[:, None, :, None] * mask_t[:, :, None, None] * scale[0])
+
+
 class MusaSpatialGraphConv(nn.Module):
     """1x1 -> graph contraction with learnable edge mask -> BN -> DropGraph
-    on main + residual branches -> activation (``musa_model.py:101-146``)."""
+    on main + residual branches -> activation (``musa_model.py:101-146``).
+
+    ``fused_dropgraph=True`` (default) runs both branches' DropBlockSke +
+    DropBlockT through the one-pass mask pipeline (:func:`_dropgraph_masks`);
+    ``False`` keeps the per-module reference pipeline (same distribution,
+    different RNG stream — ``test_aux.py`` pins both)."""
 
     features: int
     act_type: str = "relu"
@@ -117,6 +216,7 @@ class MusaSpatialGraphConv(nn.Module):
     block_size: int = 41
     edge: bool = True
     use_bias: bool = True
+    fused_dropgraph: bool = True
 
     @nn.compact
     def __call__(self, x, A, train: bool = False):
@@ -133,11 +233,24 @@ class MusaSpatialGraphConv(nn.Module):
         y = _graph_apply(y, A * edge)
         y = BatchNorm(name="bn")(y, train=train)
 
-        drop_s = DropBlockSke()
-        drop_t = DropBlockT(self.block_size)
-        y = drop_t(drop_s(y, self.keep_prob, A * edge, train), self.keep_prob, train)
-        r = drop_t(drop_s(res, self.keep_prob, A * edge, train), self.keep_prob, train)
-        return act(y + r)
+        if train and self.keep_prob < 1.0:
+            if self.fused_dropgraph:
+                y, res = _apply_drop_pair(
+                    self.make_rng("dropout"), y, res,
+                    self.keep_prob, A * edge, self.block_size,
+                )
+            else:
+                drop_s = DropBlockSke()
+                drop_t = DropBlockT(self.block_size)
+                y = drop_t(
+                    drop_s(y, self.keep_prob, A * edge, train),
+                    self.keep_prob, train,
+                )
+                res = drop_t(
+                    drop_s(res, self.keep_prob, A * edge, train),
+                    self.keep_prob, train,
+                )
+        return act(y + res)
 
 
 class SepTemporalBlock(nn.Module):
@@ -155,6 +268,7 @@ class SepTemporalBlock(nn.Module):
     edge: bool = True
     use_bias: bool = True
     residual: bool = True
+    fused_dropgraph: bool = True
 
     @nn.compact
     def __call__(self, x, A, train: bool = False):
@@ -194,13 +308,30 @@ class SepTemporalBlock(nn.Module):
         edge = (
             self.param("edge", nn.initializers.ones, A.shape) if self.edge else 1.0
         )
-        drop_s = DropBlockSke()
-        drop_t = DropBlockT(self.block_size)
-        y = drop_t(drop_s(y, self.keep_prob, A * edge, train), self.keep_prob, train)
-        if self.residual:
-            res = drop_t(
-                drop_s(res, self.keep_prob, A * edge, train), self.keep_prob, train
-            )
+        if train and self.keep_prob < 1.0:
+            if self.fused_dropgraph:
+                if self.residual:
+                    y, res = _apply_drop_pair(
+                        self.make_rng("dropout"), y, res,
+                        self.keep_prob, A * edge, self.block_size,
+                    )
+                else:
+                    y = _apply_drop_single(
+                        self.make_rng("dropout"), y,
+                        self.keep_prob, A * edge, self.block_size,
+                    )
+            else:
+                drop_s = DropBlockSke()
+                drop_t = DropBlockT(self.block_size)
+                y = drop_t(
+                    drop_s(y, self.keep_prob, A * edge, train),
+                    self.keep_prob, train,
+                )
+                if self.residual:
+                    res = drop_t(
+                        drop_s(res, self.keep_prob, A * edge, train),
+                        self.keep_prob, train,
+                    )
         return act(y + res)
 
 
@@ -275,6 +406,7 @@ class _MusaStream(nn.Module):
     use_bias: bool
     temporal_window: int = 3
     with_tail: bool = True
+    fused_dropgraph: bool = True
 
     @nn.compact
     def __call__(self, x, A, train: bool = False):
@@ -285,6 +417,7 @@ class _MusaStream(nn.Module):
             block_size=self.block_size,
             edge=self.edge,
             use_bias=self.use_bias,
+            fused_dropgraph=self.fused_dropgraph,
         )
         for i in range(self.n_stage):
             x = MusaSpatialGraphConv(dim * 2, name=f"sgc{i}", **common)(
@@ -320,6 +453,7 @@ class MusaModel(nn.Module):
     with_tail: bool = True
     embed_norm: bool = False
     dropout: float = 0.2
+    fused_dropgraph: bool = True
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -354,6 +488,7 @@ class MusaModel(nn.Module):
             edge=self.edge,
             use_bias=self.bias,
             with_tail=self.with_tail,
+            fused_dropgraph=self.fused_dropgraph,
         )
         out_p = _MusaStream(name="stream_pos", **stream_kw)(p, A, train=train)
         out_m = _MusaStream(name="stream_mot", **stream_kw)(m, A, train=train)

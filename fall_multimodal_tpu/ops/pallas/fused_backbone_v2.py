@@ -125,6 +125,14 @@ def fold_backbone(backbone, variables: Dict[str, Any],
         gcn_w = p["GraphConv_0"]["Dense_0"]["kernel"]      # (cin, K*c)
         gcn_b = p["GraphConv_0"]["Dense_0"]["bias"]        # (K*c,)
         cin = gcn_w.shape[0]
+        if i == 0 and cin > _MIN_C:
+            # the kernel lane-pads the raw input by (_MIN_C - Cin0); a wider
+            # block-0 input would need a multi-tile input layout this fold
+            # does not build (and jnp.pad would get a negative width)
+            raise ValueError(
+                f"fold_backbone: block 0 input width {cin} exceeds the "
+                f"{_MIN_C}-lane input tile this kernel pads to"
+            )
         cin_pad = cin_p if i > 0 else _MIN_C
 
         # dense fold (layers.py GraphConv.dense_mode, channel-padded):

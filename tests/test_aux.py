@@ -264,3 +264,76 @@ def test_nan_guard_stops_training():
                  num_classes=3)
     # an absurd LR must blow up; the guard stops before 6 epochs complete
     assert len(result.history["train_loss"]) < 6
+
+
+def test_fused_dropgraph_matches_module_pipeline_statistics():
+    """The round-3 fused mask pipeline (one stacked pass for both branches,
+    musa._dropgraph_masks) must be distributionally identical to the
+    sequential per-module reference pipeline DropBlockT(DropBlockSke(.)):
+    same per-joint / per-frame drop frequencies and the same rescale, per
+    branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from fall_multimodal_tpu.models.musa import (
+        DropBlockSke, DropBlockT, _apply_drop_pair,
+    )
+
+    rng = np.random.default_rng(3)
+    n, t, v, c = 8, 20, 14, 6
+    y = jnp.asarray(np.abs(rng.normal(size=(n, t, v, c))) + 0.05, jnp.float32)
+    res = jnp.asarray(np.abs(rng.normal(size=(n, t, v, c))) + 0.05, jnp.float32)
+    A = jnp.asarray(np.eye(v, dtype=np.float32) + np.eye(v, k=1) + np.eye(v, k=-1))
+    keep_prob, block_size, draws = 0.82, 7, 1500
+
+    def stats(out, ref):
+        joint_zero = (out == 0).all(axis=(1, 3))             # (n, v)
+        frame_zero = (out == 0).all(axis=(2, 3))             # (n, t)
+        scale = jnp.where(out != 0, out / ref, jnp.nan)
+        return joint_zero, frame_zero, jnp.nanmean(scale)
+
+    @jax.jit
+    def fused_draw(key):
+        fy, fr = _apply_drop_pair(key, y, res, keep_prob, A, block_size)
+        return stats(fy, y), stats(fr, res)
+
+    ske = DropBlockSke()
+    dt = DropBlockT(block_size)
+    vs = ske.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                  y, keep_prob, A, True)
+    vt = dt.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                 y, keep_prob, True)
+
+    @jax.jit
+    def module_draw(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        my = dt.apply(
+            vt,
+            ske.apply(vs, y, keep_prob, A, True, rngs={"dropout": k1}),
+            keep_prob, True, rngs={"dropout": k2},
+        )
+        mr = dt.apply(
+            vt,
+            ske.apply(vs, res, keep_prob, A, True, rngs={"dropout": k3}),
+            keep_prob, True, rngs={"dropout": k4},
+        )
+        return stats(my, y), stats(mr, res)
+
+    keys = jax.random.split(jax.random.key(7), draws)
+    f_stats = jax.vmap(fused_draw)(keys)
+    m_stats = jax.vmap(module_draw)(jax.random.split(jax.random.key(11), draws))
+
+    for branch in (0, 1):
+        fj, ff, fs = (np.asarray(x) for x in f_stats[branch])
+        mj, mf, ms = (np.asarray(x) for x in m_stats[branch])
+        # overall drop fractions
+        np.testing.assert_allclose(fj.mean(), mj.mean(), atol=0.012)
+        np.testing.assert_allclose(ff.mean(), mf.mean(), atol=0.012)
+        # activity-dependent per-position drop pattern
+        np.testing.assert_allclose(
+            fj.mean(axis=0), mj.mean(axis=0), atol=0.05
+        )
+        # rescale of surviving activations
+        np.testing.assert_allclose(
+            np.nanmean(fs), np.nanmean(ms), atol=0.025
+        )
