@@ -58,7 +58,9 @@ FAMILIES = {
     "cnn_bilstm": ("sensor_cnn_bilstm_urfall", 1024, 4, 2, "float32"),
     "musa": ("musa_harup", 1024, 15, 11, "float32"),
     "targcn": ("targcn_harup", 1024, 15, 11, "bfloat16"),
-    "transformer": ("skeleton_transformer_harup", 512, 15, 11, "bfloat16"),
+    # transformer: throughput falls with batch above 128 (kernel-
+    # serialization bound; round-3 sweep 64/128/256/512 in PARITY.md)
+    "transformer": ("skeleton_transformer_harup", 128, 15, 11, "bfloat16"),
 }
 
 

@@ -205,10 +205,14 @@ class MusaSpatialGraphConv(nn.Module):
     """1x1 -> graph contraction with learnable edge mask -> BN -> DropGraph
     on main + residual branches -> activation (``musa_model.py:101-146``).
 
-    ``fused_dropgraph=True`` (default) runs both branches' DropBlockSke +
-    DropBlockT through the one-pass mask pipeline (:func:`_dropgraph_masks`);
-    ``False`` keeps the per-module reference pipeline (same distribution,
-    different RNG stream — ``test_aux.py`` pins both)."""
+    ``fused_dropgraph=True`` runs both branches' DropBlockSke + DropBlockT
+    through the one-pass mask pipeline (:func:`_dropgraph_masks`); the
+    default ``False`` keeps the per-module reference pipeline (same
+    distribution, different RNG stream — ``test_aux.py`` pins both).
+    Measured on v5e (batch 1024, f32): fused 16,626 vs module 16,816
+    windows/s — XLA already fuses the per-module elementwise chains, so the
+    restructure is kept for its tests, not as the default (PARITY.md
+    "musa DropGraph cost split")."""
 
     features: int
     act_type: str = "relu"
@@ -216,7 +220,7 @@ class MusaSpatialGraphConv(nn.Module):
     block_size: int = 41
     edge: bool = True
     use_bias: bool = True
-    fused_dropgraph: bool = True
+    fused_dropgraph: bool = False
 
     @nn.compact
     def __call__(self, x, A, train: bool = False):
@@ -268,7 +272,7 @@ class SepTemporalBlock(nn.Module):
     edge: bool = True
     use_bias: bool = True
     residual: bool = True
-    fused_dropgraph: bool = True
+    fused_dropgraph: bool = False
 
     @nn.compact
     def __call__(self, x, A, train: bool = False):
@@ -406,7 +410,7 @@ class _MusaStream(nn.Module):
     use_bias: bool
     temporal_window: int = 3
     with_tail: bool = True
-    fused_dropgraph: bool = True
+    fused_dropgraph: bool = False
 
     @nn.compact
     def __call__(self, x, A, train: bool = False):
@@ -453,7 +457,7 @@ class MusaModel(nn.Module):
     with_tail: bool = True
     embed_norm: bool = False
     dropout: float = 0.2
-    fused_dropgraph: bool = True
+    fused_dropgraph: bool = False
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
