@@ -64,6 +64,10 @@ def parse_args(argv=None):
                    help="also log per-parameter per-step gradient norms "
                         "(reference main.py:84-89; implies on-device "
                         "accumulation, flushed per epoch)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the run under "
+                        "<output-dir>/profile (TensorBoard/Perfetto "
+                        "viewable)")
     return p.parse_args(argv)
 
 
@@ -119,6 +123,22 @@ def _log_model_summary(cfg, data, logger) -> None:
 
 def main(argv=None) -> Dict:
     args = parse_args(argv)
+    cfg = load_cli_config(args)
+    out_dir = args.output_dir or os.path.join(
+        "outputs", f"{cfg.model.name}_{time.strftime('%Y%m%dT%H%M%S')}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    if args.profile:
+        # whole-run jax.profiler capture (reference has only wall-clock
+        # ETA instrumentation, SURVEY.md section 5-tracing)
+        from fall_multimodal_tpu.utils.profiling import trace
+
+        with trace(os.path.join(out_dir, "profile")):
+            return _run(args, cfg, out_dir)
+    return _run(args, cfg, out_dir)
+
+
+def _run(args, cfg, out_dir) -> Dict:
     from fall_multimodal_tpu.data import load_dataset, split_dataset, to_device
     from fall_multimodal_tpu.models import build_model
     from fall_multimodal_tpu.train import (
@@ -129,11 +149,6 @@ def main(argv=None) -> Dict:
     from fall_multimodal_tpu.utils import create_logger
     from fall_multimodal_tpu.utils.checkpoint import Checkpointer
 
-    cfg = load_cli_config(args)
-    out_dir = args.output_dir or os.path.join(
-        "outputs", f"{cfg.model.name}_{time.strftime('%Y%m%dT%H%M%S')}"
-    )
-    os.makedirs(out_dir, exist_ok=True)
     logger = create_logger(output_dir=out_dir, name="fall_multimodal_tpu.cli")
     logger.info(f"config: {cfg.model.name} dataset={cfg.data.dataset}")
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -34,8 +34,11 @@ from fall_multimodal_tpu.data.splits import (
 )
 
 
-def load_pickle_windows(paths: Sequence[str]) -> WindowedDataset:
-    """Load and concatenate Gen-1/2 windowed pickles."""
+def load_pickle_windows(paths: Union[str, Sequence[str]]) -> WindowedDataset:
+    """Load and concatenate Gen-1/2 windowed pickles. A bare path loads one
+    file (a string would otherwise iterate as characters)."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
     videos: List[np.ndarray] = []
     feats: List[np.ndarray] = []
     sens: List[np.ndarray] = []

@@ -434,3 +434,104 @@ def cross_subject_folds(
         train = [f for f in files if f not in test]
         folds.append({"train": train, "test": test})
     return folds
+
+
+def main(argv=None):
+    """Run-once prep pipeline CLI — the capability of the reference's
+    ``3_stream/har_*.py`` scripts (SURVEY.md L0) as subcommands:
+
+        python -m fall_multimodal_tpu.data.prep unzip --src Z --dst D
+        python -m fall_multimodal_tpu.data.prep videos --frames-dir F --out V.avi
+        python -m fall_multimodal_tpu.data.prep sensor-normalize --src raw.csv --out s.csv
+        python -m fall_multimodal_tpu.data.prep join --pose p.csv --sensor s.csv --out j.csv
+        python -m fall_multimodal_tpu.data.prep windows --annot j.csv --out data.pkl \
+            [--seq-len 30] [--sensor-columns c1,c2] [--no-center] \
+            [--smooth-step 8] [--label-eps 0.1]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="fall_multimodal_tpu.data.prep",
+                                description="offline data-prep pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("unzip", help="extract HAR-UP subject archives")
+    s.add_argument("--src", required=True)
+    s.add_argument("--dst", required=True)
+
+    s = sub.add_parser("videos", help="assemble PNG frames into a video")
+    s.add_argument("--frames-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--fps", type=int, default=30)
+
+    s = sub.add_parser("sensor-normalize",
+                       help="fix HAR-UP 2-row sensor headers, select accel columns")
+    s.add_argument("--src", required=True)
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser("join", help="join pose CSV with normalized sensor CSV")
+    s.add_argument("--pose", required=True)
+    s.add_argument("--sensor", required=True)
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser("windows",
+                       help="annotation(+pose[+sensor]) CSV -> windowed pickle")
+    s.add_argument("--annot", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--seq-len", type=int, default=30)
+    s.add_argument("--sensor-columns", default=None,
+                   help="comma-separated sensor column names "
+                        "('harup' = the 15 HAR-UP accel columns)")
+    s.add_argument("--no-center", action="store_true",
+                   help="skip the 14th midpoint center joint")
+    s.add_argument("--smooth-step", type=int, default=8)
+    s.add_argument("--label-eps", type=float, default=0.1)
+
+    args = p.parse_args(argv)
+    if args.cmd == "unzip":
+        out = extract_archives(args.src, args.dst)
+        print(f"extracted {len(out)} archives into {args.dst}")
+        return out
+    if args.cmd == "videos":
+        out = frames_to_video(args.frames_dir, args.out, fps=args.fps)
+        print(f"wrote {out}")
+        return out
+    import pandas as pd
+
+    if args.cmd == "sensor-normalize":
+        df = normalize_sensor_csv(args.src)
+        df.to_csv(args.out, index=False)
+        print(f"wrote {args.out} ({len(df)} rows, {len(df.columns)} cols)")
+        return df
+    if args.cmd == "join":
+        joined = join_pose_and_sensor(
+            pd.read_csv(args.pose), pd.read_csv(args.sensor)
+        )
+        joined.to_csv(args.out, index=False)
+        print(f"wrote {args.out} ({len(joined)} rows)")
+        return joined
+    # windows
+    cols = args.sensor_columns
+    if cols == "harup":
+        cols = list(HARUP_ACCEL_COLUMNS)
+    elif cols:
+        cols = [c.strip() for c in cols.split(",") if c.strip()]
+    data = build_windowed_dataset(
+        pd.read_csv(args.annot),
+        n_frames=args.seq_len,
+        smooth_labels_step=args.smooth_step,
+        label_eps=args.label_eps,
+        sensor_columns=cols,
+        add_center=not args.no_center,
+        out_pickle=args.out,
+    )
+    print(
+        f"wrote {args.out}: {len(data)} windows, "
+        f"{data.features.shape[2]} joints, "
+        f"{data.labels.shape[1]} classes"
+        + (f", sensor dim {data.sensors.shape[2]}" if data.sensors is not None else "")
+    )
+    return data
+
+
+if __name__ == "__main__":
+    main()

@@ -420,3 +420,25 @@ def test_host_epoch_zero_steps_degrades_to_nan(tiny_data):
     state2, metrics = epoch(state, splits["train"], idx)
     assert np.isnan(float(metrics["loss"]))
     assert np.isnan(float(metrics["accuracy"]))
+
+
+def test_cli_profile_writes_trace(tmp_path):
+    """--profile captures a jax.profiler trace under <out>/profile."""
+    from fall_multimodal_tpu.cli import main
+
+    out = str(tmp_path / "prof")
+    main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--epochs", "1",
+        "--profile",
+        "--output-dir", out,
+        "--synthetic-windows", "64",
+    ])
+    prof_dir = os.path.join(out, "profile")
+    assert os.path.isdir(prof_dir)
+    # the trace writes plugins/profile/<ts>/*.pb (or .trace.json.gz)
+    found = []
+    for root, _, files in os.walk(prof_dir):
+        found.extend(files)
+    assert found, "no profiler artifacts written"

@@ -267,3 +267,51 @@ class TestPoseExtractionDriver:
         assert data.features.shape[1:] == (30, 14, 3)  # center joint added
         assert data.labels.shape[1] == 2
         assert np.isfinite(data.features).all()
+
+
+def test_prep_cli_windows_roundtrip(tmp_path, rng):
+    """The prep CLI's `windows` subcommand (capability of running
+    ``har_create4_sensor.py`` as a script) produces the same pickle as the
+    library call, loadable by the pickle ingest path."""
+    from fall_multimodal_tpu.data.loaders import load_pickle_windows
+    from fall_multimodal_tpu.data.prep import main as prep_main
+
+    annot = _synthetic_annot(rng)
+    csv_path = str(tmp_path / "annot.csv")
+    annot.to_csv(csv_path, index=False)
+    out_pkl = str(tmp_path / "data.pkl")
+    data = prep_main([
+        "windows", "--annot", csv_path, "--out", out_pkl,
+        "--sensor-columns", "harup",
+    ])
+    assert len(data) > 0
+    loaded = load_pickle_windows(out_pkl)
+    assert loaded.features.shape == data.features.shape
+    assert loaded.sensors.shape == data.sensors.shape
+    np.testing.assert_allclose(loaded.features, data.features)
+
+    # direct library call must match the CLI result
+    lib = build_windowed_dataset(
+        annot, n_frames=30, sensor_columns=list(HARUP_ACCEL_COLUMNS)
+    )
+    np.testing.assert_allclose(lib.features, data.features)
+    np.testing.assert_allclose(lib.labels, data.labels)
+
+
+def test_prep_cli_join_and_normalize(tmp_path, rng):
+    from fall_multimodal_tpu.data.prep import main as prep_main
+
+    annot = _synthetic_annot(rng, n_videos=1)
+    pose = annot.drop(columns=list(HARUP_ACCEL_COLUMNS))
+    sensor = annot[["video", "frame"] + list(HARUP_ACCEL_COLUMNS)]
+    pose_csv = str(tmp_path / "pose.csv")
+    sensor_csv = str(tmp_path / "sensor.csv")
+    out_csv = str(tmp_path / "joined.csv")
+    pose.to_csv(pose_csv, index=False)
+    sensor.to_csv(sensor_csv, index=False)
+    joined = prep_main([
+        "join", "--pose", pose_csv, "--sensor", sensor_csv, "--out", out_csv,
+    ])
+    assert os.path.exists(out_csv)
+    assert set(HARUP_ACCEL_COLUMNS) <= set(joined.columns)
+    assert len(joined) == len(pose)
