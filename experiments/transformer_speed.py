@@ -199,7 +199,7 @@ def synthetic_stack_rate(batch_size=512, n_block=6, dtype="bfloat16",
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--quick", action="store_true")
     args = parser.parse_args()
 

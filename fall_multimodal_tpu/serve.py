@@ -259,3 +259,153 @@ def measure_push_latency(
         "mean_ms": float(arr.mean()),
         "n": int(arr.size),
     }
+
+
+def main(argv=None):
+    """Serving CLI (new capability; the reference has no inference surface):
+
+        python -m fall_multimodal_tpu.serve predict \
+            --config gstcan_urfall_3stream --checkpoint outputs/run/ckpt \
+            --input windows.npz --output predictions.csv [--batch-size 128] \
+            [--num-copies 1] [--proba]
+
+        python -m fall_multimodal_tpu.serve latency \
+            --config gstcan_urfall_3stream --checkpoint outputs/run/ckpt \
+            [--pushes 200] [--sensor-dim 4]
+
+        python -m fall_multimodal_tpu.serve export \
+            --config gstcan_urfall_3stream --checkpoint outputs/run/ckpt \
+            --output model.stablehlo [--batch-size 128] [--sensor-dim 4]
+
+    ``--input`` accepts an .npz with arrays ``skeleton`` (N,T,V,C) [and
+    ``sensor`` (N,T,S)], a bare .npy of skeleton windows, or a prep-pipeline
+    pickle (the ``data.prep windows`` output). ``--config`` also accepts the
+    ``config.json`` a training run leaves in its output dir (YAML superset).
+    """
+    import argparse
+    import csv
+
+    from fall_multimodal_tpu.configs import load_config, preset_path
+    import os
+
+    p = argparse.ArgumentParser(prog="fall_multimodal_tpu.serve")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(s):
+        s.add_argument("--config", required=True, help="preset name or YAML path")
+        s.add_argument("--checkpoint", required=True, help="checkpoint dir")
+        s.add_argument("--which", default="best", choices=["best", "latest"])
+        s.add_argument("--batch-size", type=int, default=128)
+
+    s = sub.add_parser("predict", help="batch inference over saved windows")
+    common(s)
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", default="predictions.csv")
+    s.add_argument("--num-copies", type=int, default=1,
+                   help="k-copies strided inference average (reference "
+                        "Multimodal_Fall3/main.py:150-161)")
+    s.add_argument("--proba", action="store_true",
+                   help="also write per-class probabilities")
+
+    s = sub.add_parser("latency", help="measure streaming p50/p99 push latency")
+    common(s)
+    s.add_argument("--pushes", type=int, default=200)
+    s.add_argument("--sensor-dim", type=int, default=None)
+
+    s = sub.add_parser(
+        "export", help="serialize the eval forward to portable StableHLO"
+    )
+    common(s)
+    s.add_argument("--output", default="model.stablehlo")
+    s.add_argument("--sensor-dim", type=int, default=None)
+
+    args = p.parse_args(argv)
+    cfg_path = args.config if os.path.exists(args.config) else preset_path(args.config)
+    cfg = load_config(cfg_path)
+
+    def load_input(path):
+        if path.endswith(".npz"):
+            blob = np.load(path)
+            return blob["skeleton"], (blob["sensor"] if "sensor" in blob else None)
+        if path.endswith(".npy"):
+            return np.load(path), None
+        from fall_multimodal_tpu.data import load_pickle_windows
+
+        data = load_pickle_windows(path)
+        return data.features, data.sensors
+
+    if args.cmd == "predict":
+        skeleton, sensor = load_input(args.input)
+        sample_sensor = (
+            sensor if sensor is not None
+            else np.zeros((len(skeleton), 1, 1), np.float32)
+        )
+        pred = Predictor.from_checkpoint(
+            cfg, args.checkpoint, skeleton, sample_sensor,
+            which=args.which, batch_size=args.batch_size,
+            num_copies=args.num_copies,
+        )
+        proba = pred.predict_proba(skeleton, sensor)
+        classes = proba.argmax(-1)
+        with open(args.output, "w", newline="") as fh:
+            writer = csv.writer(fh)
+            header = ["index", "prediction"]
+            if args.proba:
+                header += [f"p{k}" for k in range(proba.shape[1])]
+            writer.writerow(header)
+            for i, c in enumerate(classes):
+                row = [i, int(c)]
+                if args.proba:
+                    row += [f"{v:.6f}" for v in proba[i]]
+                writer.writerow(row)
+        print(f"wrote {args.output}: {len(classes)} predictions, "
+              f"{proba.shape[1]} classes")
+        return {"n": len(classes), "output": args.output}
+
+    if args.cmd == "export":
+        sensor_dim = args.sensor_dim or cfg.data.sensor_dim
+        skel = np.zeros(
+            (2, cfg.data.seq_len, cfg.data.num_joints, cfg.data.in_channels),
+            np.float32,
+        )
+        sens = np.zeros((2, cfg.data.seq_len, sensor_dim), np.float32)
+        pred = Predictor.from_checkpoint(
+            cfg, args.checkpoint, skel, sens, which=args.which
+        )
+        blob = export_stablehlo(
+            cfg,
+            pred.variables,
+            skeleton_shape=(args.batch_size,) + skel.shape[1:],
+            sensor_shape=(args.batch_size,) + sens.shape[1:],
+        )
+        with open(args.output, "wb") as fh:
+            fh.write(blob)
+        print(f"wrote {args.output}: {len(blob)} StableHLO bytes "
+              f"(batch {args.batch_size})")
+        return {"bytes": len(blob), "output": args.output}
+
+    # latency
+    rng = np.random.default_rng(0)
+    skel = rng.normal(
+        size=(2, cfg.data.seq_len, cfg.data.num_joints, cfg.data.in_channels)
+    ).astype(np.float32)
+    sensor_dim = args.sensor_dim or cfg.data.sensor_dim
+    sens = rng.normal(size=(2, cfg.data.seq_len, sensor_dim)).astype(np.float32)
+    pred = Predictor.from_checkpoint(
+        cfg, args.checkpoint, skel, sens,
+        which=args.which, batch_size=args.batch_size,
+    )
+    stream = StreamingClassifier(pred, seq_len=cfg.data.seq_len)
+    stats = measure_push_latency(
+        stream, n_pushes=args.pushes,
+        n_joints=cfg.data.num_joints, in_channels=cfg.data.in_channels,
+        sensor_dim=sensor_dim if pred.requires_sensor else None,
+    )
+    import json as _json
+
+    print(_json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

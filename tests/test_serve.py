@@ -145,6 +145,70 @@ def test_sensor_none_ok_for_skeleton_only_model():
     assert logits.shape == (4, 3)
 
 
+def test_serve_cli_predict_latency_export(trained, tmp_path):
+    """python -m fall_multimodal_tpu.serve: predict writes a CSV over .npz
+    windows, latency reports ordered percentiles, export leaves a loadable
+    StableHLO blob — all from a training run's checkpoint + config.json."""
+    import csv
+    import json
+
+    from fall_multimodal_tpu.serve import main as serve_main
+
+    cfg, ckpt_dir, data = trained
+    # the CLI takes the config.json a training run writes (YAML superset)
+    cfg_path = tmp_path / "config.json"
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg.to_dict(), fh, default=str)
+    npz = tmp_path / "windows.npz"
+    np.savez(npz, skeleton=data.features[:12], sensor=data.sensors[:12])
+
+    out = tmp_path / "pred.csv"
+    res = serve_main([
+        "predict", "--config", str(cfg_path), "--checkpoint", ckpt_dir,
+        "--input", str(npz), "--output", str(out),
+        "--batch-size", "8", "--proba",
+    ])
+    assert res["n"] == 12
+    with open(out) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 12
+    assert {int(r["prediction"]) for r in rows} <= {0, 1, 2}
+    proba = np.array([[float(r[f"p{k}"]) for k in range(3)] for r in rows])
+    np.testing.assert_allclose(proba.sum(-1), np.ones(12), atol=1e-4)
+    # CSV predictions equal the library path on the same windows
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=8,
+    )
+    expect = pred.predict(data.features[:12], data.sensors[:12])
+    assert [int(r["prediction"]) for r in rows] == expect.tolist()
+
+    res = serve_main([
+        "latency", "--config", str(cfg_path), "--checkpoint", ckpt_dir,
+        "--pushes", "5", "--sensor-dim", "6", "--batch-size", "4",
+    ])
+    assert res["n"] == 5 and res["p50_ms"] > 0
+
+    blob_path = tmp_path / "model.stablehlo"
+    res = serve_main([
+        "export", "--config", str(cfg_path), "--checkpoint", ckpt_dir,
+        "--output", str(blob_path), "--batch-size", "4", "--sensor-dim", "6",
+    ])
+    assert res["bytes"] > 1000 and blob_path.stat().st_size == res["bytes"]
+    restored = load_stablehlo(blob_path.read_bytes())
+    import jax.numpy as jnp
+
+    logits = restored(
+        pred.variables,
+        jnp.asarray(data.features[:4]),
+        jnp.asarray(data.sensors[:4]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits),
+        pred.predict_logits(data.features[:4], data.sensors[:4]),
+        atol=1e-5,
+    )
+
+
 def test_measure_push_latency_runs(trained):
     """The latency harness exercises the real streaming path and returns
     ordered percentiles (actual v5e numbers live in PARITY.md)."""
