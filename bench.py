@@ -30,8 +30,9 @@ Measurement notes (v5e):
   fetching the loss VALUE to host instead. (Un-synced timings inflate
   throughput by >100x; early round-1 numbers were corrected for this.)
 * batch 4096 compiles as of round 2 (the round-1 crash was transient) but
-  8192 still crashes the remote compile helper; throughput is flat across
-  1024-4096, 2048 stays the flagship default.
+  8192 still crashes the remote compile helper; round 3 remeasured the
+  1024-4096 range and 1024 reproducibly wins (~+3% over 2048), so 1024 is
+  the flagship default.
 * round 2: the GCN runs in dense mode by default (adjacency folded into
   the weights, models/layers.py GraphConv.dense_mode) — measured +49%
   (9.15k -> 13.6k windows/s) on the HBM-bound step.
@@ -53,7 +54,9 @@ REFERENCE_CPU_WINDOWS_PER_SEC = 5.98
 # batches and dtypes are the PARITY.md table's measurement points (the
 # dtype is each family's measured winner; --dtype overrides).
 FAMILIES = {
-    "gstcan3": ("gstcan_urfall_3stream", 2048, 4, 2, "bfloat16"),
+    # gstcan3: 1024 reproducibly edges out 2048 (14.26k vs 13.9k w/s bf16,
+    # two runs each, round 3); throughput is flat-to-falling above that.
+    "gstcan3": ("gstcan_urfall_3stream", 1024, 4, 2, "bfloat16"),
     "bilstm": ("bilstm", 1024, 15, 11, "bfloat16"),
     "cnn_bilstm": ("sensor_cnn_bilstm_urfall", 1024, 4, 2, "float32"),
     "musa": ("musa_harup", 1024, 15, 11, "float32"),

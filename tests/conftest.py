@@ -10,9 +10,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # 8 virtual devices share one physical core: XLA-CPU's collective
+    # rendezvous aborts the process if a participant thread is starved
+    # past 40 s (observed once under load). Tests care about completing.
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200 --xla_cpu_collective_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
