@@ -85,9 +85,11 @@ def load_cli_config(args):
         overrides[key] = value
     try:
         cfg = load_config(path, overrides)
-    except (KeyError, TypeError) as e:
+    except (KeyError, TypeError, ValueError, AttributeError) as e:
         # bad --set keys fail loudly with the offending key and the valid
-        # ones (config._build raises KeyError listing them)
+        # ones (config._build raises KeyError listing them); ValueError
+        # covers uncoercible values (optim.lr=not_a_number), AttributeError
+        # nested overrides onto scalar fields (optim.lr.min=1)
         raise SystemExit(f"invalid config override: {e}") from e
     if args.epochs:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
@@ -121,8 +123,24 @@ def _log_model_summary(cfg, data, logger) -> None:
         logger.warning(f"model summary unavailable: {e}")
 
 
+def validate_args(args) -> None:
+    """Pure-argument conflicts fail before any data is loaded."""
+    if args.cv_mesh and not args.cv_vmapped:
+        raise SystemExit(
+            "--cv-mesh shards the fold axis of the vmapped CV driver; "
+            "pass it together with --cv-vmapped (for data-parallel "
+            "training of the other paths use --mesh N)"
+        )
+    if args.mesh and args.cv_vmapped:
+        raise SystemExit(
+            "--mesh (batch data-parallelism) does not apply to "
+            "--cv-vmapped; use --cv-mesh N to shard the fold axis"
+        )
+
+
 def main(argv=None) -> Dict:
     args = parse_args(argv)
+    validate_args(args)
     cfg = load_cli_config(args)
     out_dir = args.output_dir or os.path.join(
         "outputs", f"{cfg.model.name}_{time.strftime('%Y%m%dT%H%M%S')}"
@@ -171,17 +189,6 @@ def _run(args, cfg, out_dir) -> Dict:
     # Multimodal_Fall3/main.py:326-328) — via eval_shape, zero compute
     _log_model_summary(cfg, data, logger)
 
-    if args.cv_mesh and not args.cv_vmapped:
-        raise SystemExit(
-            "--cv-mesh shards the fold axis of the vmapped CV driver; "
-            "pass it together with --cv-vmapped (for data-parallel "
-            "training of the other paths use --mesh N)"
-        )
-    if args.mesh and args.cv_vmapped:
-        raise SystemExit(
-            "--mesh (batch data-parallelism) does not apply to "
-            "--cv-vmapped; use --cv-mesh N to shard the fold axis"
-        )
     mesh = None
     if args.mesh:
         from fall_multimodal_tpu.parallel import make_mesh
@@ -193,6 +200,7 @@ def _run(args, cfg, out_dir) -> Dict:
     # per-parameter per-step gradient norms (main.py:84-89,129) — wired on
     # every path; CV/grid tag scalars by fold/point.
     metrics_callback = None
+    metrics_factory = None
     step_metrics_callback = None
     step_metrics_factory = None
     if args.tensorboard or args.grad_norms:
@@ -203,6 +211,13 @@ def _run(args, cfg, out_dir) -> Dict:
         def metrics_callback(epoch, scalars):
             for name, value in scalars.items():
                 writer.add_scalar(name, value, epoch)
+
+        def metrics_factory(tag):
+            # per-fold (--cv/--cv-vmapped) / per-point (--grid) epoch curves
+            def cb(epoch, scalars):
+                for name, value in scalars.items():
+                    writer.add_scalar(f"fold{tag}/{name}", value, epoch)
+            return cb
 
         if args.grad_norms:
             def step_metrics_callback(step, scalars):
@@ -228,6 +243,7 @@ def _run(args, cfg, out_dir) -> Dict:
             )
         rows = grid_search(cfg, data, grid, epochs=args.epochs, logger=logger,
                            mesh=mesh, grad_norms=args.grad_norms,
+                           metrics_factory=metrics_factory,
                            step_metrics_factory=step_metrics_factory)
         # one CSV row per grid point in grid-iteration order (the reference
         # accumulation order, hyperparameter_tuning.py:466-471), with a
@@ -258,6 +274,7 @@ def _run(args, cfg, out_dir) -> Dict:
                 cfg, data, n_folds=args.folds, epochs=args.epochs,
                 logger=logger, mesh=fold_mesh,
                 grad_norms=args.grad_norms,
+                metrics_factory=metrics_factory,
                 step_metrics_factory=step_metrics_factory,
             )
         else:
@@ -266,6 +283,7 @@ def _run(args, cfg, out_dir) -> Dict:
                 logger=logger, checkpoint_dir=os.path.join(out_dir, "ckpt"),
                 artifacts_dir=out_dir,
                 grad_norms=args.grad_norms,
+                metrics_factory=metrics_factory,
                 step_metrics_factory=step_metrics_factory,
                 mesh=mesh,
             )
@@ -291,15 +309,13 @@ def _run(args, cfg, out_dir) -> Dict:
         state, epoch, best = src.restore("best", state)
         batch_sharding = None
         if mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec
+            from fall_multimodal_tpu.parallel import (
+                batch_sharded, replicate_data, replicate_state,
+            )
 
-            batch_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-            state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
-            splits = {
-                k: jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
-                for k, v in splits.items()
-            }
+            batch_sharding = batch_sharded(mesh, mesh.axis_names[0])
+            state = replicate_state(state, mesh)
+            splits = {k: replicate_data(v, mesh) for k, v in splits.items()}
         eval_epoch = make_eval_epoch(
             model, data.num_classes,
             label_smoothing=cfg.train.label_smoothing,

@@ -193,9 +193,35 @@ class StreamingClassifier:
     def push(
         self, pose_frame: np.ndarray, sensor_frame: Optional[np.ndarray] = None
     ) -> Optional[int]:
-        self._pose.append(np.asarray(pose_frame, np.float32))
-        if sensor_frame is not None:
+        # the pose and sensor ring buffers must advance in lockstep: a
+        # push that omits (or spuriously adds) a sensor frame would either
+        # break the compiled window shape or silently classify on a sensor
+        # window temporally misaligned with the pose window — the exact
+        # silent-wrong-data failure ``requires_sensor`` exists to prevent
+        if sensor_frame is None:
+            if self.predictor.requires_sensor:
+                raise ValueError(
+                    f"model {self.predictor.config.model.name!r} consumes "
+                    "the sensor stream; every push needs a sensor_frame (a "
+                    "dropped frame would desynchronize the pose/sensor "
+                    "windows — re-push the last known sensor reading "
+                    "explicitly if that is the intended degradation)"
+                )
+            if self._sensor:
+                raise ValueError(
+                    "inconsistent stream: earlier pushes carried "
+                    "sensor_frame, this one does not; push a sensor frame "
+                    "with every pose frame or with none"
+                )
+        else:
+            if len(self._sensor) != len(self._pose):
+                raise ValueError(
+                    "inconsistent stream: earlier pushes omitted "
+                    "sensor_frame; push a sensor frame with every pose "
+                    "frame or with none"
+                )
             self._sensor.append(np.asarray(sensor_frame, np.float32))
+        self._pose.append(np.asarray(pose_frame, np.float32))
         if len(self._pose) < self.seq_len:
             return None
         self._pose = self._pose[-self.seq_len :]

@@ -132,6 +132,7 @@ def cross_validate(
     checkpoint_dir: Optional[str] = None,
     artifacts_dir: Optional[str] = None,
     grad_norms: bool = False,
+    metrics_factory=None,
     step_metrics_factory=None,
     mesh=None,
 ) -> Dict[str, Any]:
@@ -144,8 +145,10 @@ def cross_validate(
     ``artifacts_dir``: when given, each fold leaves the notebook CV loop's
     artifacts (``GSTCAN_HAR_conv_10kfold.ipynb:7``) under ``fold{i}/`` —
     ``confusion.png`` (test confusion heatmap) and ``history.csv``
-    (per-epoch train/val curves). ``step_metrics_factory(fold_i)`` returns a
-    per-fold ``(step, scalars)`` callback for ``grad_norms`` streaming.
+    (per-epoch train/val curves). ``metrics_factory(fold_i)`` /
+    ``step_metrics_factory(fold_i)`` return per-fold ``(epoch, scalars)`` /
+    ``(step, scalars)`` callbacks (TensorBoard epoch curves and
+    ``grad_norms`` streaming respectively).
     ``mesh``: data-parallel training/eval per fold.
     """
     n_folds = n_folds or config.data.n_folds
@@ -166,6 +169,9 @@ def cross_validate(
             config, splits, epochs=epochs, logger=logger,
             checkpointer=ckpt, fold_seed=i,
             grad_norms=grad_norms,
+            metrics_callback=(
+                metrics_factory(i) if metrics_factory else None
+            ),
             step_metrics_callback=(
                 step_metrics_factory(i) if step_metrics_factory else None
             ),
@@ -243,6 +249,7 @@ def grid_search(
     logger=None,
     mesh=None,
     grad_norms: bool = False,
+    metrics_factory=None,
     step_metrics_factory=None,
 ) -> List[Dict[str, Any]]:
     """Cartesian grid over model kwargs (e.g. embed_dim x n_stage x
@@ -250,8 +257,9 @@ def grid_search(
     fresh split and records val/test accuracy; returns rows in grid
     iteration order (the reference CSV's row order,
     ``hyperparameter_tuning.py:461-471``) with a ``rank`` column by
-    validation accuracy. ``step_metrics_factory(point_idx)`` returns a
-    per-point ``(step, scalars)`` callback for grad-norm streaming."""
+    validation accuracy. ``metrics_factory(point_idx)`` /
+    ``step_metrics_factory(point_idx)`` return per-point epoch-curve /
+    grad-norm callbacks."""
     from fall_multimodal_tpu.data import split_dataset
 
     keys = list(grid)
@@ -273,6 +281,9 @@ def grid_search(
         result = run_fold(
             cfg, splits, epochs=epochs, logger=logger, mesh=mesh,
             grad_norms=grad_norms,
+            metrics_callback=(
+                metrics_factory(point_i) if metrics_factory else None
+            ),
             step_metrics_callback=(
                 step_metrics_factory(point_i) if step_metrics_factory else None
             ),

@@ -51,6 +51,7 @@ def cross_validate_vmapped(
     logger=None,
     mesh: Optional[Mesh] = None,
     grad_norms: bool = False,
+    metrics_factory=None,
     step_metrics_factory=None,
 ) -> Dict[str, Any]:
     """K-fold CV with all folds training in one vmapped program.
@@ -66,6 +67,9 @@ def cross_validate_vmapped(
     picks by backend). ``grad_norms`` + ``step_metrics_factory(fold_i)``
     stream per-parameter per-step gradient norms per fold (reference
     ``main.py:84-89``), flushed to host once per epoch.
+    ``metrics_factory(fold_i)`` returns a per-fold ``(epoch, scalars)``
+    callback for train/val epoch curves (the ``fit()`` metrics_callback
+    contract, one callback per fold of the vmapped program).
     """
     n_folds = n_folds or config.data.n_folds
     epochs = epochs or config.train.epochs
@@ -206,6 +210,7 @@ def cross_validate_vmapped(
         eval_mask[k] = (np.arange(eval_steps * batch) < len(t)).reshape(
             eval_steps, batch
         )
+    eval_counts = eval_mask.sum((1, 2))  # true (unpadded) test sizes
     eval_idx = put_folded(eval_idx)
     eval_mask = put_folded(eval_mask)
 
@@ -236,10 +241,23 @@ def cross_validate_vmapped(
                        {f"grad_norm/{name}": float(v[k, s])
                         for name, v in host.items()})
 
-        cms, _ = eval_vm(states, dev, eval_idx, eval_mask)
+        cms, loss_sums = eval_vm(states, dev, eval_idx, eval_mask)
         accs = np.asarray(
             jnp.stack([prf_from_confusion(cms[k])["accuracy"] for k in range(n_folds)])
         )
+        if metrics_factory is not None:
+            tm_host = {k: np.asarray(v) for k, v in tm.items()}
+            val_loss = np.asarray(loss_sums) / eval_counts
+            for k in range(n_folds):
+                cb = metrics_factory(k)
+                if cb is None:
+                    continue
+                cb(epoch_i, {
+                    "train_loss": float(tm_host["loss"][k]),
+                    "train_accuracy": float(tm_host["accuracy"][k]),
+                    "val_loss": float(val_loss[k]),
+                    "val_accuracy": float(accs[k]),
+                })
         improved = accs > best_acc
         if improved.any():
             gate = jnp.asarray(improved)

@@ -7,19 +7,15 @@ vars must be set before jax initializes its backends, hence module scope.
 
 import os
 
+# device-count + collective-timeout flag set shared with the driver's
+# multichip dryrun (importing __graft_entry__ does not initialize any jax
+# backend, so setting the env here is still "before jax initializes")
+from __graft_entry__ import _cpu_mesh_xla_flags  # noqa: E402
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
-    # 8 virtual devices share one physical core: XLA-CPU's collective
-    # rendezvous aborts the process if a participant thread is starved
-    # past 40 s (observed once under load). Tests care about completing.
-    _flags += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1200 --xla_cpu_collective_timeout_seconds=1200"
-    )
-os.environ["XLA_FLAGS"] = _flags
+os.environ["XLA_FLAGS"] = _cpu_mesh_xla_flags(
+    os.environ.get("XLA_FLAGS", ""), 8
+)
 
 import jax  # noqa: E402
 

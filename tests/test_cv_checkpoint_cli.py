@@ -442,3 +442,86 @@ def test_cli_profile_writes_trace(tmp_path):
     for root, _, files in os.walk(prof_dir):
         found.extend(files)
     assert found, "no profiler artifacts written"
+
+
+def test_cli_tensorboard_on_cv_path(tmp_path, monkeypatch):
+    """--tensorboard streams per-fold EPOCH curves on --cv (round-3 review:
+    the writer used to be created but never fed on the CV/grid paths)."""
+    from fall_multimodal_tpu import cli
+
+    seen = []
+
+    class FakeWriter:
+        def __init__(self, log_dir=None):
+            pass
+
+        def add_scalar(self, name, value, step):
+            seen.append((name, step))
+
+    import torch.utils.tensorboard as tb
+
+    monkeypatch.setattr(tb, "SummaryWriter", FakeWriter)
+    cli.main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--epochs", "2",
+        "--folds", "2",
+        "--cv",
+        "--tensorboard",
+        "--output-dir", str(tmp_path / "cv_tb"),
+        "--synthetic-windows", "64",
+    ])
+    for fold in ("fold0", "fold1"):
+        for curve in ("train_loss", "val_accuracy"):
+            epochs = sorted(s for n, s in seen if n == f"{fold}/{curve}")
+            assert epochs == [1, 2], (fold, curve, epochs)
+
+
+def test_vmapped_cv_epoch_metrics_factory(tiny_data):
+    """metrics_factory(fold) receives per-epoch train/val scalars from the
+    vmapped CV driver (the fit() metrics_callback contract per fold)."""
+    from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
+
+    per_fold = {0: [], 1: []}
+
+    def factory(fold):
+        def cb(epoch, scalars):
+            assert {"train_loss", "train_accuracy",
+                    "val_loss", "val_accuracy"} <= set(scalars)
+            assert all(np.isfinite(v) for v in scalars.values())
+            per_fold[fold].append(epoch)
+        return cb
+
+    cross_validate_vmapped(
+        _cfg(), tiny_data, n_folds=2, epochs=2, metrics_factory=factory,
+    )
+    assert per_fold[0] == [1, 2] and per_fold[1] == [1, 2]
+
+
+def test_cli_bad_set_value_fails_loudly(tmp_path):
+    """Uncoercible values and nested overrides onto scalar fields exit with
+    the 'invalid config override' message, not a raw traceback."""
+    from fall_multimodal_tpu.cli import main
+
+    for bad in ("optim.lr=not_a_number", "optim.lr.min=1"):
+        with pytest.raises(SystemExit) as exc:
+            main([
+                "--config", "bilstm",
+                "--set", bad,
+                "--output-dir", str(tmp_path / "bad_value"),
+            ])
+        assert "invalid config override" in str(exc.value)
+
+
+def test_cli_flag_conflicts_rejected_before_data_load(monkeypatch):
+    """Pure-argument conflicts exit before any dataset/config work."""
+    from fall_multimodal_tpu import cli
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("config was loaded before flag validation")
+
+    monkeypatch.setattr(cli, "load_cli_config", boom)
+    with pytest.raises(SystemExit):
+        cli.main(["--config", "bilstm", "--cv", "--cv-mesh", "4"])
+    with pytest.raises(SystemExit):
+        cli.main(["--config", "bilstm", "--cv-vmapped", "--mesh", "4"])

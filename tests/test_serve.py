@@ -224,3 +224,48 @@ def test_measure_push_latency_runs(trained):
     )
     assert stats["n"] == 10
     assert 0 < stats["p50_ms"] <= stats["p90_ms"] <= stats["p99_ms"]
+
+
+def test_push_keeps_pose_and_sensor_in_lockstep(trained):
+    """A push that omits (or spuriously adds) the sensor frame raises
+    instead of desynchronizing the two ring buffers (round-3 review: a
+    dropped sensor packet used to produce a misaligned or shape-broken
+    sensor window)."""
+    cfg, ckpt_dir, data = trained  # bilstm: sensor-consuming
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=1,
+    )
+    stream = StreamingClassifier(pred, seq_len=30)
+    for t in range(5):
+        stream.push(data.features[0, t], data.sensors[0, t])
+    with pytest.raises(ValueError, match="sensor"):
+        stream.push(data.features[0, 5])          # dropped sensor frame
+    # the rejected push must not have consumed the pose frame either
+    assert len(stream._pose) == len(stream._sensor) == 5
+    stream.push(data.features[0, 5], data.sensors[0, 5])
+    assert len(stream._pose) == len(stream._sensor) == 6
+
+
+def test_push_rejects_spurious_sensor_on_sensorless_stream():
+    """The inverse desync: a sensor frame appearing mid-stream on a
+    skeleton-only stream is rejected too."""
+    import jax
+
+    from fall_multimodal_tpu.models import build_model
+
+    cfg = load_config(
+        preset_path("bilstm"),
+        overrides={"model.name": "stgcan", "data.num_classes": 3},
+    )
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    skel = rng.normal(size=(2, 30, 14, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.key(0), skel, np.zeros((2, 1, 1), np.float32), train=False
+    )
+    stream = StreamingClassifier(Predictor(cfg, variables, batch_size=1),
+                                 seq_len=30)
+    stream.push(skel[0, 0])
+    with pytest.raises(ValueError, match="inconsistent"):
+        stream.push(skel[0, 1], np.zeros(6, np.float32))
+    assert len(stream._pose) == 1 and not stream._sensor
