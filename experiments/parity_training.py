@@ -72,7 +72,11 @@ def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
     from fall_multimodal_tpu.data import to_device
     from fall_multimodal_tpu.train.cv import run_fold
 
-    preset = "gstcan_urfall_3stream" if family == "gstcan" else "musa_harup"
+    preset = {
+        "gstcan": "gstcan_urfall_3stream",
+        "musa": "musa_harup",
+        "cnn_bilstm": "sensor_cnn_bilstm_urfall",
+    }[family]
     cfg = load_config(
         preset_path(preset),
         overrides={"seed": seed, "data.num_classes": classes,
@@ -145,6 +149,69 @@ def run_reference_musa(train_np, valid_np, epochs: int, seed: int,
     curve = []
     rng = np.random.default_rng(seed)
     for epoch in range(epochs):
+        model.train()
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i : i + batch_size]
+            loss = loss_fn(model(tr[0][idx]), tr[1][idx])
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        va_acc = accuracy(va)
+        curve.append(round(va_acc, 4))
+        best = max(best, va_acc)
+    dt = time.perf_counter() - t0
+    return {
+        "framework": "reference_torch",
+        "seed": seed,
+        "best_val_accuracy": best,
+        "final_val_accuracy": curve[-1],
+        "final_train_accuracy": accuracy(tr),
+        "val_curve": curve,
+        "wall_seconds": dt,
+    }
+
+
+def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
+                             classes: int, reference_path: str,
+                             batch_size: int = 32):
+    """Sensor-only head-to-head: the notebook ``CNN_BiLSTM`` — the model
+    behind the 0.98690 sensor-only BASELINE anchor
+    (``GSTCAN_UR_sensor.ipynb:2``, trained per cell 6: RMSprop 1e-3, CE on
+    soft labels, sensor stream only). The module hard-codes its output dim
+    to 2 inside the class (the ignored-ctor-args quirk our port documents),
+    so this arm requires ``classes == 2``."""
+    import json as _json
+
+    import torch
+
+    nb = _json.load(
+        open(os.path.join(reference_path, "GSTCAN_UR_sensor.ipynb"))
+    )
+    cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    ns = {}
+    exec("".join(cells[2]["source"]), ns)
+
+    torch.manual_seed(seed)
+    model = ns["CNN_BiLSTM"](hidden_size=16, num_layers=1, dropout_prob=0.3,
+                             num_classes=classes, feature="mean")
+    opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
+    loss_fn = torch.nn.CrossEntropyLoss()
+
+    tr = (torch.tensor(train_np.sensors), torch.tensor(train_np.labels))
+    va = (torch.tensor(valid_np.sensors), torch.tensor(valid_np.labels))
+    n = len(train_np)
+
+    def accuracy(split):
+        model.eval()
+        with torch.no_grad():
+            out = model(split[0])
+        return float((out.argmax(1) == split[1].argmax(1)).float().mean())
+
+    t0 = time.perf_counter()
+    best, curve = 0.0, []
+    rng = np.random.default_rng(seed)
+    for _ in range(epochs):
         model.train()
         perm = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
@@ -252,7 +319,7 @@ def main():
                         help="merge two single-arm result files into one "
                              "summary (no training)")
     parser.add_argument("--out", default=None)
-    parser.add_argument("--family", choices=["gstcan", "musa"],
+    parser.add_argument("--family", choices=["gstcan", "musa", "cnn_bilstm"],
                         default="gstcan")
     parser.add_argument("--cpu", action="store_true",
                         help="force the local CPU backend (the env var is "
@@ -265,10 +332,18 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.family == "cnn_bilstm" and args.classes != 2:
+        parser.error("--family cnn_bilstm requires --classes 2: the "
+                     "reference module hard-codes its output dim to 2")
+
     train_np, valid_np = make_data(
         args.windows, args.classes, args.noise, args.label_flip
     )
-    ref_fn = run_reference if args.family == "gstcan" else run_reference_musa
+    ref_fn = {
+        "gstcan": run_reference,
+        "musa": run_reference_musa,
+        "cnn_bilstm": run_reference_cnn_bilstm,
+    }[args.family]
     rows = []
     if args.merge:
         for path in args.merge:
