@@ -1,10 +1,16 @@
-"""From-scratch training-parity experiment: reference torch GSTCAN vs ours.
+"""From-scratch training-parity experiment: reference torch models vs ours.
 
-Real UR-Fall/HAR-UP archives are not mounted, so the notebook's 0.99127
-anchor cannot be replicated directly; instead both frameworks train on
-identical synthetic data under an identical protocol (RMSprop 1e-3, batch
-32, CE on softmaxed outputs with soft labels — ``GSTCAN_UR_conv.ipynb:7``)
-and their learning outcomes are compared.
+Real UR-Fall/HAR-UP archives are not mounted, so the notebooks' saved
+anchors cannot be replicated directly; instead both frameworks train on
+identical synthetic data under an identical protocol (each family's own
+reference training cell: RMSprop, batch 32, CE on soft labels — e.g.
+``GSTCAN_UR_conv.ipynb:7``) and their learning outcomes are compared.
+``--family`` selects the head-to-head pair: ``gstcan`` (notebook 3-stream
+flagship), ``musa`` (Gen-3 flagship), ``cnn_bilstm`` (sensor-only anchor),
+``transformer`` (root skeleton_transformer.py), ``targcn`` (root TRAGCN
+package). Reference arms execute the actual reference sources from
+``--reference-path`` at runtime (importlib / notebook-cell exec) — nothing
+is vendored.
 
 Round-1 weakness (VERDICT): the old regime saturated at 1.0 for both
 frameworks — a ceiling cannot detect a systematically-worse training
@@ -66,8 +72,16 @@ def make_data(n_windows: int, classes: int, noise: float, label_flip: float,
     return splits["train"], splits["valid"]
 
 
+# identical optimizer protocol for BOTH arms, per family — each is the
+# reference's own training cell's setting (TARGCN's notebook uses 1e-5,
+# TARGCN_HAR_conv_10kfold.ipynb:3; every other family trains at 1e-3)
+FAMILY_LR = {"gstcan": 1e-3, "musa": 1e-3, "cnn_bilstm": 1e-3,
+             "transformer": 1e-3, "targcn": 1e-5}
+
+
 def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
-             batch_size: int = 32, family: str = "gstcan"):
+             batch_size: int = 32, family: str = "gstcan",
+             lr: float = None):
     from fall_multimodal_tpu.configs import load_config, preset_path
     from fall_multimodal_tpu.data import to_device
     from fall_multimodal_tpu.train.cv import run_fold
@@ -76,11 +90,14 @@ def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
         "gstcan": "gstcan_urfall_3stream",
         "musa": "musa_harup",
         "cnn_bilstm": "sensor_cnn_bilstm_urfall",
+        "transformer": "skeleton_transformer_harup",
+        "targcn": "targcn_harup",
     }[family]
     cfg = load_config(
         preset_path(preset),
         overrides={"seed": seed, "data.num_classes": classes,
-                   "train.batch_size": batch_size},
+                   "train.batch_size": batch_size,
+                   "optim.lr": lr or FAMILY_LR[family]},
     )
     splits = {
         "train": to_device(train_np),
@@ -103,7 +120,7 @@ def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
 
 def run_reference_musa(train_np, valid_np, epochs: int, seed: int,
                        classes: int, reference_path: str,
-                       batch_size: int = 32):
+                       batch_size: int = 32, lr: float = None):
     """Gen-3 flagship head-to-head: the vendored ``musa_model.py`` trained
     with the hard-coded ``Multimodal_Fall3/main.py:307-320,362`` config
     (coco_cut/uniform, bias/edge True, block_size 41, embed 64, n_stage 1,
@@ -127,7 +144,7 @@ def run_reference_musa(train_np, valid_np, epochs: int, seed: int,
         bias=True, edge=True, block_size=41,
         embed_dim=64, n_stage=1, act_type="tanh",
     )
-    opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
+    opt = torch.optim.RMSprop(model.parameters(), lr=lr or 1e-3)
     loss_fn = torch.nn.CrossEntropyLoss()
 
     def to_torch(ds):
@@ -172,9 +189,170 @@ def run_reference_musa(train_np, valid_np, epochs: int, seed: int,
     }
 
 
+def _torch_train_eval_loop(model, tr, va, epochs, seed, lr, batch_size,
+                           forward):
+    """Shared reference-arm loop: RMSprop + CE on soft labels, per-epoch
+    val accuracy, best tracking (the common protocol of every reference
+    training cell)."""
+    import torch
+
+    opt = torch.optim.RMSprop(model.parameters(), lr=lr)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    n = len(tr[-1])
+
+    def accuracy(split):
+        model.eval()
+        with torch.no_grad():
+            out = forward(model, split, slice(None))
+        return float((out.argmax(1) == split[-1].argmax(1)).float().mean())
+
+    t0 = time.perf_counter()
+    best, curve = 0.0, []
+    rng = np.random.default_rng(seed)
+    for _ in range(epochs):
+        model.train()
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i : i + batch_size]
+            loss = loss_fn(forward(model, tr, idx), tr[-1][idx])
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        va_acc = accuracy(va)
+        curve.append(round(va_acc, 4))
+        best = max(best, va_acc)
+    dt = time.perf_counter() - t0
+    return {
+        "framework": "reference_torch",
+        "seed": seed,
+        "best_val_accuracy": best,
+        "final_val_accuracy": curve[-1],
+        "final_train_accuracy": accuracy(tr),
+        "val_curve": curve,
+        "wall_seconds": dt,
+    }
+
+
+def run_reference_transformer(train_np, valid_np, epochs: int, seed: int,
+                              classes: int, reference_path: str,
+                              batch_size: int = 32, lr: float = None):
+    """Skeleton-transformer head-to-head: the root
+    ``skeleton_transformer.py`` module (imported from the reference tree at
+    runtime) trained per the notebook protocol
+    (``GSTCAN_HAR_conv_kfold_trans.ipynb:25``: RMSprop 1e-3, CE,
+    ``SkeletonTransformer(in_channels=3, n_joints=14, seq_len=30, ...)``
+    on (B, C, T, V, M=1) inputs)."""
+    import importlib.util
+    import sys
+    import types
+
+    import torch
+
+    if "torchvision" not in sys.modules:
+        # this image ships no torchvision; the reference only uses
+        # ops.StochasticDepth — stub it with torchvision's exact
+        # semantics (survival-scaled Bernoulli, one draw per call in
+        # "batch" mode, per-sample in "row" mode)
+        class _StochasticDepth(torch.nn.Module):
+            def __init__(self, p, mode):
+                super().__init__()
+                self.p, self.mode = float(p), mode
+
+            def forward(self, x):
+                if not self.training or self.p == 0.0:
+                    return x
+                keep = 1.0 - self.p
+                size = (
+                    [x.shape[0]] + [1] * (x.ndim - 1)
+                    if self.mode == "row" else [1] * x.ndim
+                )
+                noise = torch.empty(
+                    size, dtype=x.dtype, device=x.device
+                ).bernoulli_(keep)
+                return x * noise / keep
+
+        tv = types.ModuleType("torchvision")
+        tv.ops = types.ModuleType("torchvision.ops")
+        tv.ops.StochasticDepth = _StochasticDepth
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv.ops
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_skeleton_transformer",
+        os.path.join(reference_path, "skeleton_transformer.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(seed)
+    model = mod.SkeletonTransformer(
+        in_channels=3, n_joints=14, seq_len=30, num_classes=classes,
+        embedding_dim=32, n_block=6, head_dim=16, n_heads=8,
+    )
+
+    def to_torch(ds):
+        # (N, T, V, C) -> (N, C, T, V, M=1), the reference forward contract
+        skel = torch.tensor(
+            np.transpose(ds.features, (0, 3, 1, 2))[..., None]
+        )
+        return (skel, torch.tensor(ds.labels))
+
+    def forward(model, split, idx):
+        return model(split[0][idx])
+
+    return _torch_train_eval_loop(
+        model, to_torch(train_np), to_torch(valid_np), epochs, seed,
+        lr or FAMILY_LR["transformer"], batch_size, forward,
+    )
+
+
+def run_reference_targcn(train_np, valid_np, epochs: int, seed: int,
+                         classes: int, reference_path: str,
+                         batch_size: int = 32, lr: float = None):
+    """TARGCN head-to-head: the root ``TRAGCN.py``/``GRU.py``/``TA.py``/
+    ``EmbGCN.py`` modules, assembled into the ``TRAGCN`` package layout
+    their imports expect (``TRAGCN.zip``'s layout, ``TRAGCN.py:4-5``) in a
+    temp dir, trained per the notebook protocol
+    (``TARGCN_HAR_conv_10kfold.ipynb:3``: ``TARGCN(adj=None)`` — the
+    ``adj != None`` quirk's all-ones adjacency — RMSprop **1e-5**, CE, on
+    (B, T, V, C) inputs)."""
+    import shutil
+    import sys
+    import tempfile
+
+    import torch
+
+    pkg_root = tempfile.mkdtemp(prefix="ref_targcn_")
+    pkg = os.path.join(pkg_root, "TRAGCN")
+    os.makedirs(pkg)
+    for fname in ("EmbGCN.py", "GRU.py", "TA.py", "TRAGCN.py"):
+        shutil.copy(os.path.join(reference_path, fname),
+                    os.path.join(pkg, fname))
+    open(os.path.join(pkg, "__init__.py"), "w").close()
+    sys.path.insert(0, pkg_root)
+    try:
+        from TRAGCN.TRAGCN import TARGCN as RefTARGCN
+    finally:
+        sys.path.remove(pkg_root)
+
+    torch.manual_seed(seed)
+    model = RefTARGCN(num_classes=classes, adj=None)
+
+    def to_torch(ds):
+        return (torch.tensor(ds.features), torch.tensor(ds.labels))
+
+    def forward(model, split, idx):
+        return model(split[0][idx])
+
+    return _torch_train_eval_loop(
+        model, to_torch(train_np), to_torch(valid_np), epochs, seed,
+        lr or FAMILY_LR["targcn"], batch_size, forward,
+    )
+
+
 def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
                              classes: int, reference_path: str,
-                             batch_size: int = 32):
+                             batch_size: int = 32, lr: float = None):
     """Sensor-only head-to-head: the notebook ``CNN_BiLSTM`` — the model
     behind the 0.98690 sensor-only BASELINE anchor
     (``GSTCAN_UR_sensor.ipynb:2``, trained per cell 6: RMSprop 1e-3, CE on
@@ -195,7 +373,7 @@ def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
     torch.manual_seed(seed)
     model = ns["CNN_BiLSTM"](hidden_size=16, num_layers=1, dropout_prob=0.3,
                              num_classes=classes, feature="mean")
-    opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
+    opt = torch.optim.RMSprop(model.parameters(), lr=lr or 1e-3)
     loss_fn = torch.nn.CrossEntropyLoss()
 
     tr = (torch.tensor(train_np.sensors), torch.tensor(train_np.labels))
@@ -236,7 +414,8 @@ def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
 
 
 def run_reference(train_np, valid_np, epochs: int, seed: int, classes: int,
-                  reference_path: str, batch_size: int = 32):
+                  reference_path: str, batch_size: int = 32,
+                  lr: float = None):
     import contextlib
     import io
     import json as _json
@@ -250,7 +429,7 @@ def run_reference(train_np, valid_np, epochs: int, seed: int, classes: int,
 
     torch.manual_seed(seed)
     model = ns["TwoStreamSpatialTemporalGraph"]({"strategy": "spatial"}, classes)
-    opt = torch.optim.RMSprop(model.parameters(), lr=1e-3)
+    opt = torch.optim.RMSprop(model.parameters(), lr=lr or 1e-3)
     loss_fn = torch.nn.CrossEntropyLoss()
 
     def to_torch(ds):
@@ -319,8 +498,16 @@ def main():
                         help="merge two single-arm result files into one "
                              "summary (no training)")
     parser.add_argument("--out", default=None)
-    parser.add_argument("--family", choices=["gstcan", "musa", "cnn_bilstm"],
-                        default="gstcan")
+    parser.add_argument(
+        "--family",
+        choices=["gstcan", "musa", "cnn_bilstm", "transformer", "targcn"],
+        default="gstcan",
+    )
+    parser.add_argument(
+        "--lr", type=float, default=None,
+        help="override the family protocol LR in BOTH arms (e.g. TARGCN's "
+             "notebook 1e-5 never leaves chance in a short run)",
+    )
     parser.add_argument("--cpu", action="store_true",
                         help="force the local CPU backend (the env var is "
                              "overridden by the axon plugin; the config "
@@ -343,21 +530,25 @@ def main():
         "gstcan": run_reference,
         "musa": run_reference_musa,
         "cnn_bilstm": run_reference_cnn_bilstm,
+        "transformer": run_reference_transformer,
+        "targcn": run_reference_targcn,
     }[args.family]
     rows = []
     if args.merge:
         for path in args.merge:
             rows.extend(json.load(open(path))["runs"])
     else:
+        ref_kw = {"lr": args.lr} if args.lr else {}
         for seed in range(args.seeds):
             if not args.skip_ours:
                 rows.append(run_ours(train_np, valid_np, args.epochs, seed,
-                                     args.classes, family=args.family))
+                                     args.classes, family=args.family,
+                                     lr=args.lr))
                 print(rows[-1], flush=True)
             if not args.skip_reference and os.path.isdir(args.reference_path):
                 rows.append(
                     ref_fn(train_np, valid_np, args.epochs, seed,
-                           args.classes, args.reference_path)
+                           args.classes, args.reference_path, **ref_kw)
                 )
                 print(rows[-1], flush=True)
 
@@ -383,6 +574,7 @@ def main():
             "windows": args.windows, "classes": args.classes,
             "noise": args.noise, "label_flip": args.label_flip,
             "epochs": args.epochs, "seeds": args.seeds,
+            "lr": args.lr or FAMILY_LR[args.family],
         },
         "ours": stats("fall_multimodal_tpu"),
         "reference": stats("reference_torch"),
