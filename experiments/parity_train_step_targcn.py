@@ -1,0 +1,284 @@
+"""Deterministic lockstep training parity: reference TARGCN vs ours.
+
+The below-ceiling harness cannot close out this family: on the synthetic
+skeleton task NEITHER framework learns — the reference arm sits at exactly
+chance for 25 straight epochs at both the notebook's lr (1e-5,
+``TARGCN_HAR_conv_10kfold.ipynb:3``) and 1e-3, and ours hovers at chance
+too (pilot logs summarized in PARITY.md). A seed-spread comparison between
+two chance-level arms is uninformative, so this family's training-dynamics
+close-out is the stronger *lockstep* statement instead (the same route as
+musa's ``parity_train_step_musa.py``):
+
+1. **Step-0 gradient parity** — the reference ``TRAGCN.py:177`` model's
+   state_dict is ported into our ``models/targcn.py`` TARGCN (the mapping
+   proven at 5e-5 eval parity by ``test_targcn_parity.py``), both arms
+   compute loss gradients on the SAME batch, and the torch gradients are
+   pushed through the identical (linear) weight mapping for elementwise
+   comparison.
+2. **K-step trajectory parity** — both arms take K RMSprop steps from the
+   ported weights over the SAME batch sequence; per-step losses must track.
+
+Neither arm has any stochastic regularizer (no dropout / DropBlock in
+``TRAGCN.py``/``GRU.py``/``TA.py``/``EmbGCN.py``'s default path), so the
+comparison is exactly deterministic up to float accumulation order.
+
+Reference arm: the root ``TRAGCN.py`` assembled into the ``TRAGCN``
+package layout its imports expect, constructed per the notebook protocol
+(``TARGCN(adj=None)`` — the ``adj != None`` all-ones-adjacency quirk,
+``TRAGCN.py:191``), RMSprop at the notebook's 1e-5.
+
+    python experiments/parity_train_step_targcn.py --steps 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CLASSES, V, T, C = 6, 14, 30, 3
+
+
+def make_batches(n_batches: int, batch: int, seed: int = 0):
+    from fall_multimodal_tpu.data import make_synthetic
+
+    data = make_synthetic(
+        n_windows=n_batches * batch, num_classes=CLASSES, sensor_dim=4,
+        windows_per_video=16, noise=0.45, seed=seed,
+    )
+    feats = data.features.astype(np.float32)          # (N, T, V, C)
+    labels = data.labels.astype(np.float32)           # (N, K) soft
+    return [
+        (feats[i * batch:(i + 1) * batch], labels[i * batch:(i + 1) * batch])
+        for i in range(n_batches)
+    ]
+
+
+def build_reference(reference_path: str, seed: int = 0):
+    """Assemble the TRAGCN package layout (``TRAGCN.py:4-5`` imports) in a
+    temp dir and construct the notebook's model."""
+    import torch
+
+    pkg_root = tempfile.mkdtemp(prefix="ref_targcn_step_")
+    pkg = os.path.join(pkg_root, "TRAGCN")
+    os.makedirs(pkg)
+    for fname in ("EmbGCN.py", "GRU.py", "TA.py", "TRAGCN.py"):
+        shutil.copy(os.path.join(reference_path, fname),
+                    os.path.join(pkg, fname))
+    open(os.path.join(pkg, "__init__.py"), "w").close()
+    sys.path.insert(0, pkg_root)
+    try:
+        from TRAGCN.TRAGCN import TARGCN as RefTARGCN
+    finally:
+        sys.path.remove(pkg_root)
+
+    torch.manual_seed(seed)
+    return RefTARGCN(num_classes=CLASSES, adj=None)
+
+
+def port_targcn(sd, num_layers: int = 2, num_trans: int = 2):
+    """Map a reference TARGCN state_dict-shaped dict of numpy arrays into
+    our flat param dict. The mapping is linear (transposes/reshapes only),
+    so it applies identically to weights AND their gradients. Identical to
+    ``test_targcn_parity.py::test_targcn_full_model_matches_reference``'s
+    inline mapping, hoisted for reuse on gradient tensors."""
+    p = {("node_embeddings",): sd["node_embeddings"]}
+    for layer in range(num_layers):
+        for gate in ("gate", "update"):
+            base = ("encoder", f"layer{layer}", "cell", gate)
+            ref = f"encoder.dcrnn_cells.{layer}.{gate}"
+            p[base + ("weights_pool",)] = sd[f"{ref}.weights_pool"]
+            p[base + ("bias_pool",)] = sd[f"{ref}.bias_pool"]
+            p[base + ("static_linear", "kernel")] = sd[f"{ref}.linear.weight"].T
+            p[base + ("static_linear", "bias")] = sd[f"{ref}.linear.bias"]
+    for i in range(num_trans):
+        base = ("encoder", "temporal_transformer", f"layer{i}")
+        ref = f"encoder.trans_layer_T.trans_layers.{i}"
+        p[base + ("vff", "kernel")] = sd[f"{ref}.vff.weight"].T
+        p[base + ("vff", "bias")] = sd[f"{ref}.vff.bias"]
+        for ours, theirs in (("conv_q", "conv1"), ("conv_k", "conv2")):
+            p[base + (ours, "kernel")] = np.transpose(
+                sd[f"{ref}.{theirs}.weight"], (2, 3, 1, 0))
+            p[base + (ours, "bias")] = sd[f"{ref}.{theirs}.bias"]
+        for name in ("ln", "lnff"):
+            p[base + (name, "scale")] = sd[f"{ref}.{name}.weight"]
+            p[base + (name, "bias")] = sd[f"{ref}.{name}.bias"]
+        p[base + ("ff1", "kernel")] = sd[f"{ref}.ff.0.weight"].T
+        p[base + ("ff1", "bias")] = sd[f"{ref}.ff.0.bias"]
+        p[base + ("ff2", "kernel")] = sd[f"{ref}.ff.2.weight"].T
+        p[base + ("ff2", "bias")] = sd[f"{ref}.ff.2.bias"]
+    w = sd["end_conv.weight"]                  # (O, 6, 1, H)
+    o, s6, _, h = w.shape
+    p[("end_conv", "kernel")] = np.transpose(w[:, :, 0, :], (1, 2, 0)).reshape(
+        s6 * h, o)
+    p[("end_conv", "bias")] = sd["end_conv.bias"]
+    p[("head", "kernel")] = sd["fc.2.weight"].T
+    p[("head", "bias")] = sd["fc.2.bias"]
+    return p
+
+
+def reference_grads(model, feats, labels):
+    """One loss/backward at the current weights; grads keyed by param name."""
+    import torch
+
+    model.zero_grad()
+    loss = torch.nn.CrossEntropyLoss()(
+        model(torch.tensor(feats)), torch.tensor(labels))
+    loss.backward()
+    return float(loss), {
+        name: par.grad.detach().numpy().copy()
+        for name, par in model.named_parameters()
+    }
+
+
+def run_reference(model, batches, steps: int, lr: float):
+    import torch
+
+    opt = torch.optim.RMSprop(model.parameters(), lr=lr)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    losses = []
+    model.train()
+    for s in range(steps):
+        feats, labels = batches[s % len(batches)]
+        loss = loss_fn(model(torch.tensor(feats)), torch.tensor(labels))
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+        losses.append(float(loss))
+    return losses
+
+
+def build_ours(state_dict):
+    import jax.numpy as jnp
+    from flax.traverse_util import unflatten_dict
+
+    from fall_multimodal_tpu.models.targcn import TARGCN
+
+    model = TARGCN(num_classes=CLASSES)       # reference ctor defaults
+    sd = {k: v.detach().numpy() for k, v in state_dict.items()}
+    params = unflatten_dict(
+        {k: jnp.asarray(v) for k, v in port_targcn(sd).items()})
+    return model, params
+
+
+def ours_loss_and_grads(model, params, feats, labels):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, jnp.asarray(feats), None,
+                             train=True)
+        return optax.softmax_cross_entropy(logits, jnp.asarray(labels)).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return float(loss), grads
+
+
+def run_ours(model, params, batches, steps: int, lr: float):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fall_multimodal_tpu.configs.config import OptimConfig
+    from fall_multimodal_tpu.train.optim import build_optimizer
+
+    tx = build_optimizer(OptimConfig(type="rmsprop", lr=lr))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, feats, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, feats, None, train=True)
+            return optax.softmax_cross_entropy(logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for s in range(steps):
+        feats, labels = batches[s % len(batches)]
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(feats), jnp.asarray(labels))
+        losses.append(float(loss))
+    return losses
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--n-batches", type=int, default=6)
+    parser.add_argument("--lr", type=float, default=1e-5,
+                        help="notebook protocol lr (TARGCN_HAR_conv_10kfold"
+                             ".ipynb:3)")
+    parser.add_argument("--reference-path", default="/root/reference")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    from flax.traverse_util import flatten_dict
+
+    batches = make_batches(args.n_batches, args.batch)
+    ref_model = build_reference(args.reference_path)
+    state_dict = {k: v.clone() for k, v in ref_model.state_dict().items()}
+    model, params = build_ours(state_dict)
+
+    # --- step-0 gradient parity at the ported weights ------------------
+    feats0, labels0 = batches[0]
+    ref_loss0, ref_g = reference_grads(ref_model, feats0, labels0)
+    our_loss0, our_g = ours_loss_and_grads(model, params, feats0, labels0)
+    ported_g = port_targcn(ref_g)
+    flat_ours = flatten_dict(our_g)
+    grad_rows = []
+    for key, ours_arr in sorted(flat_ours.items()):
+        a = np.asarray(ours_arr)
+        b = np.asarray(ported_g[key])
+        scale = max(float(np.abs(b).max()), 1e-12)
+        rel = float(np.abs(a - b).max()) / scale
+        grad_rows.append({"param": "/".join(key), "max_rel_diff": rel,
+                          "grad_scale": scale})
+        print(f"grad {'/'.join(key):60s} rel {rel:.2e} (scale {scale:.2e})")
+    worst = max(grad_rows, key=lambda r: r["max_rel_diff"])
+    print(f"step-0 loss: ours {our_loss0:.6f} ref {ref_loss0:.6f} "
+          f"|d| {abs(our_loss0 - ref_loss0):.2e}")
+    print(f"worst gradient: {worst['param']} rel {worst['max_rel_diff']:.2e}")
+
+    # --- lockstep trajectory -------------------------------------------
+    ours = run_ours(model, params, batches, args.steps, args.lr)
+    ref_model.load_state_dict(state_dict)
+    ref = run_reference(ref_model, batches, args.steps, args.lr)
+
+    rows = []
+    for s, (a, b) in enumerate(zip(ours, ref)):
+        rows.append({"step": s, "ours": a, "reference": b,
+                     "abs_diff": abs(a - b)})
+        print(f"step {s:3d}  ours {a:.6f}  ref {b:.6f}  "
+              f"|d| {abs(a - b):.2e}")
+    max_diff = max(r["abs_diff"] for r in rows)
+    rel = max_diff / max(abs(r["reference"]) for r in rows)
+    print(f"max |loss diff| over {args.steps} steps: {max_diff:.3e} "
+          f"(rel {rel:.3e})")
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "parity_train_step_targcn.json")
+    json.dump({
+        "lr": args.lr,
+        "step0": {"ours_loss": our_loss0, "reference_loss": ref_loss0,
+                  "grads": grad_rows,
+                  "worst_grad_rel_diff": worst["max_rel_diff"]},
+        "steps": rows, "max_abs_diff": max_diff, "max_rel_diff": rel,
+    }, open(out, "w"), indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
