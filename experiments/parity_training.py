@@ -487,6 +487,10 @@ def main():
     parser.add_argument("--noise", type=float, default=0.45)
     parser.add_argument("--label-flip", type=float, default=0.15)
     parser.add_argument("--seeds", type=int, default=3)
+    parser.add_argument("--seed-start", type=int, default=0,
+                        help="first seed to run (extend an earlier N-seed "
+                             "result with seeds N..--seeds-1, then --merge "
+                             "the two run files)")
     parser.add_argument("--reference-path", default="/root/reference")
     parser.add_argument("--skip-reference", action="store_true")
     parser.add_argument("--skip-ours", action="store_true",
@@ -539,7 +543,7 @@ def main():
             rows.extend(json.load(open(path))["runs"])
     else:
         ref_kw = {"lr": args.lr} if args.lr else {}
-        for seed in range(args.seeds):
+        for seed in range(args.seed_start, args.seeds):
             if not args.skip_ours:
                 rows.append(run_ours(train_np, valid_np, args.epochs, seed,
                                      args.classes, family=args.family,
