@@ -336,7 +336,6 @@ def _run(args, cfg, out_dir) -> Dict:
                       grad_norms=args.grad_norms,
                       step_metrics_callback=step_metrics_callback,
                       mesh=mesh)
-    model = build_model(cfg)
     logger.info(
         f"best val accuracy {result.best_val_accuracy:.5f}; "
         f"test accuracy {float(result.test.stats['accuracy']):.5f}"

@@ -143,6 +143,15 @@ def build_optimizer(
             scale_by_torch_rms(decay=cfg.rms_decay, eps=cfg.eps),
             optax.scale_by_learning_rate(lr),
         )
+        if cfg.weight_decay:
+            # torch RMSprop adds wd*p to the gradient BEFORE the
+            # square-average update (no reference run sets this — both
+            # factories pass lr only, Fall_2_Spatial_Temporal_SR/
+            # optimizer.py:21, Multimodal_Fall3/main.py:355-357 — but a
+            # user-set optim.weight_decay must not be silently dropped)
+            core = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay), core
+            )
     else:
         raise ValueError(f"Unknown optimizer type: {cfg.type!r}")
 

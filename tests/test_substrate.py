@@ -170,6 +170,32 @@ def test_rmsprop_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
 
 
+def test_rmsprop_weight_decay_matches_torch(rng):
+    """optim.weight_decay under rmsprop must apply torch's placement
+    (grad += wd*p BEFORE the square-average update), not be silently
+    dropped (no reference run sets it; our config exposes it)."""
+    import torch
+
+    import optax
+
+    w0 = rng.normal(size=(7, 3)).astype(np.float32)
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    topt = torch.optim.RMSprop([tw], lr=1e-3, weight_decay=0.05)
+
+    params = {"w": jnp.asarray(w0)}
+    opt = build_optimizer(OptimConfig(type="rmsprop", lr=1e-3, weight_decay=0.05))
+    state = opt.init(params)
+
+    for i in range(5):
+        g = rng.normal(size=(7, 3)).astype(np.float32)
+        tw.grad = torch.tensor(g)
+        topt.step()
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
+
+
 def test_cosine_schedule_matches_timm_trajectory():
     """Exact timm CosineLRScheduler values (t_in_epochs=True, cycle_limit=1,
     warmup_prefix=False — the reference construction, optimizer.py:32).
