@@ -272,6 +272,39 @@ def test_cli_mesh_end_to_end(tmp_path):
     assert all(np.isfinite(v) for v in hist["train_loss"])
 
 
+def test_cli_test_only_mesh(tmp_path):
+    """--test-only --mesh N: best checkpoint restored, state replicated,
+    eval sharded across the mesh (cli.py's mesh branch of the test-only
+    path) — and the accuracy matches the single-device test-only run."""
+    from fall_multimodal_tpu.cli import main
+
+    out = str(tmp_path / "run")
+    main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--epochs", "1",
+        "--output-dir", out,
+        "--synthetic-windows", "96",
+    ])
+    single = main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--output-dir", out,
+        "--synthetic-windows", "96",
+        "--test-only",
+    ])
+    meshed = main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--output-dir", out,
+        "--synthetic-windows", "96",
+        "--test-only",
+        "--mesh", "8",
+    ])
+    assert meshed["test_accuracy"] == pytest.approx(
+        single["test_accuracy"], abs=1e-6)
+
+
 def test_cli_cv_emits_fold_artifacts(tmp_path):
     """--cv leaves the notebook loop's per-fold artifacts: confusion.png +
     history.csv (GSTCAN_HAR_conv_10kfold.ipynb:7)."""
