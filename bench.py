@@ -14,7 +14,11 @@ same measurement discipline (VERDICT r2 item 3: every row re-derivable from
 one committed command). ``--family musa --cost-split`` additionally times
 the DropGraph-disabled model (keep_prob=1.0 compiles the masks away), the
 per-block-shared mask pipeline, and bf16 — the committed artifact behind
-the "DropGraph masks dominate musa" claim.
+the "DropGraph masks dominate musa" claim. ``--family gstcan3
+--cost-split`` decomposes the flagship step by ablation (2-stream /
+1-stream / sparse-GCN arms): the step is exactly the two skeleton
+backbones — the sensor head measures at 0.0% (PARITY.md "Flagship cost
+split").
 
 Baseline: the PyTorch reference model (notebook-canonical
 ``TwoStreamSpatialTemporalGraph`` from ``GSTCAN_UR_conv.ipynb``) measured on
@@ -154,6 +158,41 @@ def musa_cost_split(batch_size: int, windows: int, epochs: int):
     return rows
 
 
+def gstcan3_cost_split(batch_size: int, windows: int, epochs: int):
+    """Flagship step decomposition by ablation arms (all bf16, the shipped
+    dtype): the full 3-stream model, the 2-stream pts+motion model (sensor
+    head removed), the single-stream backbone, and the 3-stream model with
+    the dense GCN fold disabled. Derived shares: the sensor head is
+    1 - t_2stream/t_full of the step; one backbone is ~(t_2stream -
+    t_1stream); the dense fold's win is t_sparse/t_full."""
+    arms = {
+        "full_3stream": ("gstcan_urfall_3stream", {}),
+        "two_stream": ("twostream_stgcan", {"data.num_classes": 2}),
+        "one_stream": ("default_urfall", {}),
+        "sparse_gcn_3stream": (
+            "gstcan_urfall_3stream", {"model.kwargs.dense_gcn": False},
+        ),
+    }
+    rows = {}
+    for tag, (preset, overrides) in arms.items():
+        rows[tag] = measure(
+            preset, batch_size, 4, 2, "bfloat16",
+            windows=windows, epochs=epochs, overrides=overrides,
+        )
+    t3 = rows["full_3stream"]["ms_per_step"]
+    t2 = rows["two_stream"]["ms_per_step"]
+    t1 = rows["one_stream"]["ms_per_step"]
+    rows["sensor_head_fraction_of_step"] = round(1.0 - t2 / t3, 4)
+    rows["one_backbone_ms_per_step"] = round(t2 - t1, 3)
+    rows["dense_fold_speedup"] = round(
+        rows["sparse_gcn_3stream"]["ms_per_step"] / t3, 3
+    )
+    return rows
+
+
+_COST_SPLITS = {"musa": musa_cost_split, "gstcan3": gstcan3_cost_split}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--family", choices=sorted(FAMILIES), default="gstcan3",
@@ -168,8 +207,10 @@ def main():
                         help="compute dtype (default: the family's measured "
                              "winner; params stay f32 either way)")
     parser.add_argument("--cost-split", action="store_true",
-                        help="with --family musa: emit the DropGraph "
-                             "on/off/bf16 cost decomposition")
+                        help="with --family musa: the DropGraph on/off/bf16 "
+                             "cost decomposition; with --family gstcan3: "
+                             "the stream/sensor-head/dense-fold ablation "
+                             "decomposition")
     args = parser.parse_args()
 
     preset, d_batch, sensor_dim, num_classes, d_dtype = FAMILIES[args.family]
@@ -177,10 +218,13 @@ def main():
     dtype = args.dtype or d_dtype
 
     if args.cost_split:
-        if args.family != "musa":
-            raise SystemExit("--cost-split is defined for --family musa")
-        rows = musa_cost_split(batch, args.windows, args.epochs)
-        print(json.dumps({"metric": "musa_cost_split", **rows}))
+        if args.family not in _COST_SPLITS:
+            raise SystemExit(
+                f"--cost-split is defined for --family "
+                f"{{{','.join(sorted(_COST_SPLITS))}}}"
+            )
+        rows = _COST_SPLITS[args.family](batch, args.windows, args.epochs)
+        print(json.dumps({"metric": f"{args.family}_cost_split", **rows}))
         return
 
     r = measure(preset, batch, sensor_dim, num_classes, dtype,
