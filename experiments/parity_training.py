@@ -144,49 +144,18 @@ def run_reference_musa(train_np, valid_np, epochs: int, seed: int,
         bias=True, edge=True, block_size=41,
         embed_dim=64, n_stage=1, act_type="tanh",
     )
-    opt = torch.optim.RMSprop(model.parameters(), lr=lr or 1e-3)
-    loss_fn = torch.nn.CrossEntropyLoss()
 
     def to_torch(ds):
         skel = torch.tensor(np.transpose(ds.features, (0, 3, 1, 2)))  # NCTV
         return skel, torch.tensor(ds.labels)
 
-    tr = to_torch(train_np)
-    va = to_torch(valid_np)
-    n = len(train_np)
+    def forward(model, split, idx):
+        return model(split[0][idx])
 
-    def accuracy(split):
-        model.eval()
-        with torch.no_grad():
-            out = model(split[0])
-        return float((out.argmax(1) == split[1].argmax(1)).float().mean())
-
-    t0 = time.perf_counter()
-    best = 0.0
-    curve = []
-    rng = np.random.default_rng(seed)
-    for epoch in range(epochs):
-        model.train()
-        perm = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = perm[i : i + batch_size]
-            loss = loss_fn(model(tr[0][idx]), tr[1][idx])
-            loss.backward()
-            opt.step()
-            opt.zero_grad()
-        va_acc = accuracy(va)
-        curve.append(round(va_acc, 4))
-        best = max(best, va_acc)
-    dt = time.perf_counter() - t0
-    return {
-        "framework": "reference_torch",
-        "seed": seed,
-        "best_val_accuracy": best,
-        "final_val_accuracy": curve[-1],
-        "final_train_accuracy": accuracy(tr),
-        "val_curve": curve,
-        "wall_seconds": dt,
-    }
+    return _torch_train_eval_loop(
+        model, to_torch(train_np), to_torch(valid_np), epochs, seed,
+        lr or FAMILY_LR["musa"], batch_size, forward,
+    )
 
 
 def _torch_train_eval_loop(model, tr, va, epochs, seed, lr, batch_size,
@@ -306,21 +275,16 @@ def run_reference_transformer(train_np, valid_np, epochs: int, seed: int,
     )
 
 
-def run_reference_targcn(train_np, valid_np, epochs: int, seed: int,
-                         classes: int, reference_path: str,
-                         batch_size: int = 32, lr: float = None):
-    """TARGCN head-to-head: the root ``TRAGCN.py``/``GRU.py``/``TA.py``/
-    ``EmbGCN.py`` modules, assembled into the ``TRAGCN`` package layout
-    their imports expect (``TRAGCN.zip``'s layout, ``TRAGCN.py:4-5``) in a
-    temp dir, trained per the notebook protocol
-    (``TARGCN_HAR_conv_10kfold.ipynb:3``: ``TARGCN(adj=None)`` — the
-    ``adj != None`` quirk's all-ones adjacency — RMSprop **1e-5**, CE, on
-    (B, T, V, C) inputs)."""
+def import_reference_targcn(reference_path: str):
+    """Assemble the root ``TRAGCN.py``/``GRU.py``/``TA.py``/``EmbGCN.py``
+    modules into the ``TRAGCN`` package layout their imports expect
+    (``TRAGCN.zip``'s layout, ``TRAGCN.py:4-5``) in a temp dir and return
+    the reference ``TARGCN`` class. Shared by this harness and the lockstep
+    one (``parity_train_step_targcn.py``) so both close-out artifacts load
+    the reference identically."""
     import shutil
     import sys
     import tempfile
-
-    import torch
 
     pkg_root = tempfile.mkdtemp(prefix="ref_targcn_")
     pkg = os.path.join(pkg_root, "TRAGCN")
@@ -334,6 +298,20 @@ def run_reference_targcn(train_np, valid_np, epochs: int, seed: int,
         from TRAGCN.TRAGCN import TARGCN as RefTARGCN
     finally:
         sys.path.remove(pkg_root)
+    return RefTARGCN
+
+
+def run_reference_targcn(train_np, valid_np, epochs: int, seed: int,
+                         classes: int, reference_path: str,
+                         batch_size: int = 32, lr: float = None):
+    """TARGCN head-to-head: the reference TRAGCN package (see
+    :func:`import_reference_targcn`) trained per the notebook protocol
+    (``TARGCN_HAR_conv_10kfold.ipynb:3``: ``TARGCN(adj=None)`` — the
+    ``adj != None`` quirk's all-ones adjacency — RMSprop **1e-5**, CE, on
+    (B, T, V, C) inputs)."""
+    import torch
+
+    RefTARGCN = import_reference_targcn(reference_path)
 
     torch.manual_seed(seed)
     model = RefTARGCN(num_classes=classes, adj=None)
@@ -373,44 +351,17 @@ def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
     torch.manual_seed(seed)
     model = ns["CNN_BiLSTM"](hidden_size=16, num_layers=1, dropout_prob=0.3,
                              num_classes=classes, feature="mean")
-    opt = torch.optim.RMSprop(model.parameters(), lr=lr or 1e-3)
-    loss_fn = torch.nn.CrossEntropyLoss()
 
-    tr = (torch.tensor(train_np.sensors), torch.tensor(train_np.labels))
-    va = (torch.tensor(valid_np.sensors), torch.tensor(valid_np.labels))
-    n = len(train_np)
+    def to_torch(ds):
+        return (torch.tensor(ds.sensors), torch.tensor(ds.labels))
 
-    def accuracy(split):
-        model.eval()
-        with torch.no_grad():
-            out = model(split[0])
-        return float((out.argmax(1) == split[1].argmax(1)).float().mean())
+    def forward(model, split, idx):
+        return model(split[0][idx])
 
-    t0 = time.perf_counter()
-    best, curve = 0.0, []
-    rng = np.random.default_rng(seed)
-    for _ in range(epochs):
-        model.train()
-        perm = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = perm[i : i + batch_size]
-            loss = loss_fn(model(tr[0][idx]), tr[1][idx])
-            loss.backward()
-            opt.step()
-            opt.zero_grad()
-        va_acc = accuracy(va)
-        curve.append(round(va_acc, 4))
-        best = max(best, va_acc)
-    dt = time.perf_counter() - t0
-    return {
-        "framework": "reference_torch",
-        "seed": seed,
-        "best_val_accuracy": best,
-        "final_val_accuracy": curve[-1],
-        "final_train_accuracy": accuracy(tr),
-        "val_curve": curve,
-        "wall_seconds": dt,
-    }
+    return _torch_train_eval_loop(
+        model, to_torch(train_np), to_torch(valid_np), epochs, seed,
+        lr or FAMILY_LR["cnn_bilstm"], batch_size, forward,
+    )
 
 
 def run_reference(train_np, valid_np, epochs: int, seed: int, classes: int,
@@ -429,8 +380,6 @@ def run_reference(train_np, valid_np, epochs: int, seed: int, classes: int,
 
     torch.manual_seed(seed)
     model = ns["TwoStreamSpatialTemporalGraph"]({"strategy": "spatial"}, classes)
-    opt = torch.optim.RMSprop(model.parameters(), lr=lr or 1e-3)
-    loss_fn = torch.nn.CrossEntropyLoss()
 
     def to_torch(ds):
         skel = torch.tensor(np.transpose(ds.features, (0, 3, 1, 2)))  # NCTV
@@ -439,44 +388,15 @@ def run_reference(train_np, valid_np, epochs: int, seed: int, classes: int,
         labels = torch.tensor(ds.labels)
         return skel, mot, sensor, labels
 
-    tr = to_torch(train_np)
-    va = to_torch(valid_np)
-    n = len(train_np)
+    def forward(model, split, idx):
+        # the notebook model prints shapes in forward; keep stdout clean
+        with contextlib.redirect_stdout(io.StringIO()):
+            return model((split[0][idx], split[1][idx], split[2][idx]))
 
-    def accuracy(split):
-        model.eval()
-        with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
-            out = model((split[0], split[1], split[2]))
-        return float((out.argmax(1) == split[3].argmax(1)).float().mean())
-
-    t0 = time.perf_counter()
-    best = 0.0
-    curve = []
-    rng = np.random.default_rng(seed)
-    for epoch in range(epochs):
-        model.train()
-        perm = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = perm[i : i + batch_size]
-            with contextlib.redirect_stdout(io.StringIO()):
-                out = model((tr[0][idx], tr[1][idx], tr[2][idx]))
-            loss = loss_fn(out, tr[3][idx])
-            loss.backward()
-            opt.step()
-            opt.zero_grad()
-        va_acc = accuracy(va)
-        curve.append(round(va_acc, 4))
-        best = max(best, va_acc)
-    dt = time.perf_counter() - t0
-    return {
-        "framework": "reference_torch",
-        "seed": seed,
-        "best_val_accuracy": best,
-        "final_val_accuracy": curve[-1],
-        "final_train_accuracy": accuracy(tr),
-        "val_curve": curve,
-        "wall_seconds": dt,
-    }
+    return _torch_train_eval_loop(
+        model, to_torch(train_np), to_torch(valid_np), epochs, seed,
+        lr or FAMILY_LR["gstcan"], batch_size, forward,
+    )
 
 
 def main():

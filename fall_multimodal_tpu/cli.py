@@ -83,8 +83,15 @@ def load_cli_config(args):
     for item in args.set:
         key, _, value = item.partition("=")
         overrides[key] = value
+    # validate the file alone first so errors are attributed correctly: a
+    # bad value in the YAML itself must not be reported as a --set problem
     try:
-        cfg = load_config(path, overrides)
+        cfg = load_config(path)
+    except (KeyError, TypeError, ValueError, AttributeError) as e:
+        raise SystemExit(f"invalid config file {path!r}: {e}") from e
+    try:
+        if overrides:
+            cfg = load_config(path, overrides)
     except (KeyError, TypeError, ValueError, AttributeError) as e:
         # bad --set keys fail loudly with the offending key and the valid
         # ones (config._build raises KeyError listing them); ValueError
@@ -203,6 +210,9 @@ def _run(args, cfg, out_dir) -> Dict:
     metrics_factory = None
     step_metrics_callback = None
     step_metrics_factory = None
+    # --cv tags scalars fold{i}/, --grid tags them point{i}/ — a grid run
+    # and a CV run in the same TB instance must stay distinguishable
+    tag_prefix = "point" if args.grid else "fold"
     if args.tensorboard or args.grad_norms:
         from torch.utils.tensorboard import SummaryWriter
 
@@ -216,7 +226,7 @@ def _run(args, cfg, out_dir) -> Dict:
             # per-fold (--cv/--cv-vmapped) / per-point (--grid) epoch curves
             def cb(epoch, scalars):
                 for name, value in scalars.items():
-                    writer.add_scalar(f"fold{tag}/{name}", value, epoch)
+                    writer.add_scalar(f"{tag_prefix}{tag}/{name}", value, epoch)
             return cb
 
         if args.grad_norms:
@@ -227,7 +237,7 @@ def _run(args, cfg, out_dir) -> Dict:
             def step_metrics_factory(tag):
                 def cb(step, scalars):
                     for name, value in scalars.items():
-                        writer.add_scalar(f"fold{tag}/{name}", value, step)
+                        writer.add_scalar(f"{tag_prefix}{tag}/{name}", value, step)
                 return cb
 
     if args.grid:

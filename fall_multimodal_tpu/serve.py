@@ -362,6 +362,15 @@ def main(argv=None):
 
     if args.cmd == "predict":
         skeleton, sensor = load_input(args.input)
+        if sensor is None and uses_sensor(cfg.model.name):
+            # check before building the predictor: the checkpoint-restore
+            # template would otherwise be initialized for a (N,1,1) sensor
+            # and fail with an opaque orbax shape mismatch instead of this
+            raise SystemExit(
+                f"model {cfg.model.name!r} consumes the sensor stream but "
+                f"{args.input!r} has no sensor array; provide an .npz with "
+                "both 'skeleton' and 'sensor', or a prep-pipeline pickle"
+            )
         sample_sensor = (
             sensor if sensor is not None
             else np.zeros((len(skeleton), 1, 1), np.float32)

@@ -546,6 +546,59 @@ def test_cli_bad_set_value_fails_loudly(tmp_path):
         assert "invalid config override" in str(exc.value)
 
 
+def test_cli_bad_config_file_not_blamed_on_overrides(tmp_path):
+    """An uncoercible value inside the YAML itself is reported as a config-
+    FILE error naming the path — never as an 'invalid config override'
+    (round-3 review: a bad preset used to point users at --set flags they
+    never passed)."""
+    from fall_multimodal_tpu.cli import main
+
+    bad_yaml = tmp_path / "bad.yaml"
+    bad_yaml.write_text("model:\n  name: bilstm\noptim:\n  lr: not_a_number\n")
+    with pytest.raises(SystemExit) as exc:
+        main(["--config", str(bad_yaml),
+              "--output-dir", str(tmp_path / "out")])
+    msg = str(exc.value)
+    assert "invalid config file" in msg and "bad.yaml" in msg
+    assert "override" not in msg
+    # ... even when --set overrides are ALSO present
+    with pytest.raises(SystemExit) as exc:
+        main(["--config", str(bad_yaml), "--set", "optim.momentum=0.9",
+              "--output-dir", str(tmp_path / "out2")])
+    assert "invalid config file" in str(exc.value)
+
+
+def test_cli_grid_tensorboard_uses_point_prefix(tmp_path, monkeypatch):
+    """--grid tags TB curves point{i}/, not fold{i} — a grid run and a CV
+    run in one TB instance must stay distinguishable (round-3 review)."""
+    from fall_multimodal_tpu import cli
+
+    seen = []
+
+    class FakeWriter:
+        def __init__(self, log_dir=None):
+            pass
+
+        def add_scalar(self, name, value, step):
+            seen.append(name)
+
+    import torch.utils.tensorboard as tb
+
+    monkeypatch.setattr(tb, "SummaryWriter", FakeWriter)
+    cli.main([
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--epochs", "1",
+        "--grid", '{"hidden_size": [8, 16]}',
+        "--tensorboard",
+        "--output-dir", str(tmp_path / "grid_tb"),
+        "--synthetic-windows", "64",
+    ])
+    points = {n.split("/")[0] for n in seen if "/" in n}
+    assert points == {"point0", "point1"}, points
+    assert not any(n.startswith("fold") for n in seen)
+
+
 def test_cli_flag_conflicts_rejected_before_data_load(monkeypatch):
     """Pure-argument conflicts exit before any dataset/config work."""
     from fall_multimodal_tpu import cli

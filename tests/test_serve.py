@@ -209,6 +209,28 @@ def test_serve_cli_predict_latency_export(trained, tmp_path):
     )
 
 
+def test_serve_cli_predict_refuses_sensorless_input(trained, tmp_path):
+    """serve predict on a sensor-consuming model with skeleton-only input
+    must fail with the clear sensor-stream message BEFORE building the
+    checkpoint template (which would otherwise die in orbax with a shape
+    mismatch against the zero-filled placeholder sensor)."""
+    import json
+
+    from fall_multimodal_tpu.serve import main as serve_main
+
+    cfg, ckpt_dir, data = trained  # bilstm: sensor-consuming
+    cfg_path = tmp_path / "config.json"
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg.to_dict(), fh, default=str)
+    npy = tmp_path / "windows.npy"          # bare .npy = no sensor array
+    np.save(npy, data.features[:4])
+    with pytest.raises(SystemExit, match="sensor stream"):
+        serve_main([
+            "predict", "--config", str(cfg_path), "--checkpoint", ckpt_dir,
+            "--input", str(npy),
+        ])
+
+
 def test_measure_push_latency_runs(trained):
     """The latency harness exercises the real streaming path and returns
     ordered percentiles (actual v5e numbers live in PARITY.md)."""
