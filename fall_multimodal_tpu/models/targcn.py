@@ -222,6 +222,201 @@ class TemporalTransformer(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Declares params matching ``nn.Dense``'s tree (kernel, bias) without a
+    forward pass, so the fast recurrence can consume them directly. Same
+    names, shapes, and initializers as flax's Dense defaults."""
+
+    dim_in: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.dim_in, self.dim_out)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.dim_out,))
+        return kernel, bias
+
+
+class _EmbGCNParams(nn.Module):
+    """Declares exactly ``EmbGCN``'s parameter tree (``weights_pool``,
+    ``bias_pool``, ``static_linear/{kernel,bias}``) — same names, shapes, and
+    initializers — so the hoisted fast path below stays checkpoint- and
+    parity-test-compatible with the module path."""
+
+    embed_dim: int
+    dim_in: int
+    dim_out: int
+    gate: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wp = self.param(
+            "weights_pool",
+            nn.initializers.normal(1.0),
+            (self.embed_dim, self.dim_in, self.dim_out),
+        )
+        bp = self.param(
+            "bias_pool", nn.initializers.normal(1.0), (self.embed_dim, self.dim_out)
+        )
+        if not self.gate:
+            return wp, bp, None, None
+        kernel, bias = _DenseParams(self.dim_in, self.dim_out, name="static_linear")()
+        return wp, bp, kernel, bias
+
+
+class _GRUCellParams(nn.Module):
+    """Parameter tree of one ``GraphGRUCell`` (scopes ``gate``/``update``)."""
+
+    embed_dim: int
+    in_dim: int
+    hidden_dim: int
+    gate: bool
+
+    @nn.compact
+    def __call__(self):
+        g = _EmbGCNParams(
+            self.embed_dim,
+            self.in_dim + self.hidden_dim,
+            2 * self.hidden_dim,
+            gate=self.gate,
+            name="gate",
+        )()
+        u = _EmbGCNParams(
+            self.embed_dim,
+            self.in_dim + self.hidden_dim,
+            self.hidden_dim,
+            gate=self.gate,
+            name="update",
+        )()
+        return g, u
+
+
+class _FastGRULayer(nn.Module):
+    """One graph-GRU layer with the recurrence reduced to its data-dependent
+    core — the TPU-first formulation of ``GRU.py:8-30`` + ``EmbGCN.py:59-89``.
+
+    The reference (and the module path above) recomputes, at every one of the
+    T=30 frames: supports = I + softmax(relu(E E^T)), the per-node weight/bias
+    pools contracted with E, and the static column weights. None of that
+    depends on the frame — here it is computed ONCE per layer and the scan
+    body keeps only the genuinely sequential math (measured +7-12% over the
+    module path at batch 1024 on v5e). Two further knobs, both measured on
+    the real chip (see PARITY.md "TARGCN" notes):
+
+    * ``precompute_x``: additionally hoist every x-side matmul (the x half of
+      concat([x, h]) through both the pooled GCN weights and the gated static
+      branch) out of the scan, batched over all T frames. This trades HBM for
+      serialized FLOPs — it materializes (B, T, V, 6H) activations, which
+      measured as a net LOSS in f32 and a wash in bf16 at these shapes, so it
+      is off by default. (Splitting concat([x, h]) @ W into x @ Wx + h @ Wh
+      is exact up to fp summation order — verified 2.7e-13 in f64.)
+    * ``unroll``: ``lax.scan`` unroll factor — amortizes per-iteration
+      while-loop overhead across fused step bodies.
+
+    With ``precompute_x=False`` the body math is term-for-term the module
+    path's (same concat, same summation order); the full-model parity test
+    (5e-5) runs through this path.
+    """
+
+    hidden_dim: int
+    static_adj: Optional[np.ndarray] = None
+    gated: bool = True
+    precompute_x: bool = False
+    unroll: int = 1
+
+    @nn.compact
+    def __call__(self, xs, node_emb):
+        # xs: (B, T, V, Cx)
+        b, t_len, v, cx = xs.shape
+        h_dim = self.hidden_dim
+        (wp_g, bp_g, k_g, kb_g), (wp_u, bp_u, k_u, kb_u) = _GRUCellParams(
+            node_emb.shape[1], cx, h_dim, self.gated, name="cell"
+        )()
+
+        # --- loop invariants (params only; EmbGCN.py:63-75) ---
+        supports = jax.nn.softmax(nn.relu(node_emb @ node_emb.T), axis=1)
+        supports = jnp.eye(v, dtype=xs.dtype) + supports
+        weights_g = jnp.einsum("nd,dio->nio", node_emb, wp_g)  # (V, cx+h, 2h)
+        weights_u = jnp.einsum("nd,dio->nio", node_emb, wp_u)  # (V, cx+h, h)
+        bias_g = node_emb @ bp_g
+        bias_u = node_emb @ bp_u
+        if self.gated:
+            adj = self.static_adj if self.static_adj is not None else np.ones((v, v))
+            static = jnp.asarray(
+                embgcn_static_adjacency(np.asarray(adj)), xs.dtype
+            )
+            # Reference quirk (EmbGCN.py:78): per-node column weight.
+            cw = jax.nn.softmax(static, axis=-1).sum(axis=0)  # (V,)
+
+        h0 = jnp.zeros((b, v, h_dim), xs.dtype)
+
+        if not self.precompute_x:
+            # Invariants-only hoist: the body is term-for-term GraphGRUCell
+            # (GRU.py:8-30) with the per-step EmbGCN recomputation removed.
+            def gcn(inp, weights, bias, kernel, kbias):
+                mix = jnp.einsum("nm,bmc->bnc", supports, inp)
+                out = jnp.einsum("bni,nio->bno", mix, weights) + bias
+                if self.gated:
+                    s = (inp * cw[None, :, None]) @ kernel + kbias
+                    out = out + nn.sigmoid(s) * s
+                return out
+
+            def step(h, x_t):
+                xh = jnp.concatenate([x_t, h], axis=-1)
+                z_r = nn.sigmoid(gcn(xh, weights_g, bias_g, k_g, kb_g))
+                z, r = jnp.split(z_r, 2, axis=-1)
+                cand = jnp.concatenate([x_t, r * h], axis=-1)
+                h_hat = jnp.tanh(gcn(cand, weights_u, bias_u, k_u, kb_u))
+                h_next = z * h + (1.0 - z) * h_hat
+                return h_next, h_next
+
+            _, ys = jax.lax.scan(
+                step, h0, jnp.moveaxis(xs, 1, 0), unroll=self.unroll
+            )
+            return jnp.moveaxis(ys, 0, 1)  # (B, T, V, H)
+
+        # --- precompute_x: x-side contributions batched over all T frames ---
+        wx_g, wh_g = weights_g[:, :cx], weights_g[:, cx:]
+        wx_u, wh_u = weights_u[:, :cx], weights_u[:, cx:]
+        xmix = jnp.einsum("nm,btmc->btnc", supports, xs)
+        gx_g = jnp.einsum("btni,nio->btno", xmix, wx_g) + bias_g
+        gx_u = jnp.einsum("btni,nio->btno", xmix, wx_u) + bias_u
+        if self.gated:
+            kx_g, kh_g = k_g[:cx], k_g[cx:]
+            kx_u, kh_u = k_u[:cx], k_u[cx:]
+            xw = xs * cw[None, None, :, None]
+            sx_g = xw @ kx_g + kb_g
+            sx_u = xw @ kx_u + kb_u
+        else:
+            sx_g = sx_u = jnp.zeros((b, t_len, 0), xs.dtype)
+
+        def step_pre(h, inp):
+            gx_gt, gx_ut, sx_gt, sx_ut = inp
+            hmix = jnp.einsum("nm,bmc->bnc", supports, h)
+            g_lin = gx_gt + jnp.einsum("bni,nio->bno", hmix, wh_g)
+            if self.gated:
+                s = sx_gt + (h * cw[None, :, None]) @ kh_g
+                g_lin = g_lin + nn.sigmoid(s) * s
+            z, r = jnp.split(nn.sigmoid(g_lin), 2, axis=-1)
+            rh = r * h
+            rhmix = jnp.einsum("nm,bmc->bnc", supports, rh)
+            u_lin = gx_ut + jnp.einsum("bni,nio->bno", rhmix, wh_u)
+            if self.gated:
+                s_u = sx_ut + (rh * cw[None, :, None]) @ kh_u
+                u_lin = u_lin + nn.sigmoid(s_u) * s_u
+            h_hat = jnp.tanh(u_lin)
+            h_next = z * h + (1.0 - z) * h_hat
+            return h_next, h_next
+
+        inputs = jax.tree.map(
+            lambda a: jnp.moveaxis(a, 1, 0), (gx_g, gx_u, sx_g, sx_u)
+        )
+        _, ys = jax.lax.scan(step_pre, h0, inputs, unroll=self.unroll)
+        return jnp.moveaxis(ys, 0, 1)  # (B, T, V, H)
+
+
 class _ScanGRUCell(nn.Module):
     """GraphGRUCell adapted to the (carry, x) -> (carry, y) scan contract."""
 
@@ -251,13 +446,41 @@ class GraphGRUEncoder(nn.Module):
     num_layers: int = 2
     static_adj: Optional[np.ndarray] = None
     gcn_variant: str = "gated"
+    fast: bool = True
+    # False | True | "auto" (hoist x-side matmuls per layer where profitable)
+    precompute_x: "bool | str" = "auto"
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, node_emb):
         # x: (B, T, V, C)
         b, t_len, v, _ = x.shape
+        use_fast = self.fast and self.gcn_variant in ("gated", "nogate")
         current = x
         for layer in range(self.num_layers):
+            if use_fast:
+                if self.precompute_x == "auto":
+                    # Hoist x-side matmuls only where the (B, T, V, 6H)
+                    # materialization pays: the layer input must be at least
+                    # hidden-width (never the 2/3-channel raw-skeleton layer
+                    # 0) AND compute must be bf16 (f32 doubles the bytes and
+                    # measured as a net loss at every shape tried — the
+                    # full sweep is experiments/targcn_speed_results.json).
+                    layer_pre = (
+                        current.shape[-1] >= self.hidden_dim
+                        and current.dtype == jnp.bfloat16
+                    )
+                else:
+                    layer_pre = bool(self.precompute_x)
+                current = _FastGRULayer(
+                    self.hidden_dim,
+                    static_adj=self.static_adj,
+                    gated=(self.gcn_variant == "gated"),
+                    precompute_x=layer_pre,
+                    unroll=self.unroll,
+                    name=f"layer{layer}",
+                )(current, node_emb)
+                continue
             scan = nn.scan(
                 _ScanGRUCell,
                 variable_broadcast="params",
@@ -297,6 +520,10 @@ class TARGCN(nn.Module):
     static_adj: Optional[np.ndarray] = None
     gcn_variant: str = "gated"
     context_steps: int = 6
+    fast: bool = True
+    # False | True | "auto" (hoist x-side matmuls per layer where profitable)
+    precompute_x: "bool | str" = "auto"
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -311,6 +538,9 @@ class TARGCN(nn.Module):
             num_layers=self.num_layers,
             static_adj=self.static_adj,
             gcn_variant=self.gcn_variant,
+            fast=self.fast,
+            precompute_x=self.precompute_x,
+            unroll=self.unroll,
             name="encoder",
         )(skeleton, node_emb)
 

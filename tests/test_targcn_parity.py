@@ -140,6 +140,44 @@ def test_targcn_end_to_end_shapes():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_targcn_fast_path_matches_module_path():
+    """The hoisted recurrence (``_FastGRULayer``) must be numerically
+    equivalent to the reference-shaped module path (``nn.scan`` over
+    ``GraphGRUCell``) on the SAME parameters — the trees are identical by
+    construction, so one init serves both."""
+    key = jax.random.key(7)
+    skel = jax.random.normal(key, (3, 30, 14, 3))
+    kwargs = dict(num_classes=5, num_nodes=14, rnn_units=8, output_dim=8,
+                  embed_dim=4, num_layers=2)
+    fast = TARGCN(fast=True, **kwargs)
+    slow = TARGCN(fast=False, **kwargs)
+    variables = fast.init(jax.random.key(0), skel, None, train=False)
+    v_slow = slow.init(jax.random.key(0), skel, None, train=False)
+    assert jax.tree.map(lambda a: a.shape, variables) == jax.tree.map(
+        lambda a: a.shape, v_slow
+    )
+    # The two paths differ only in fp32 summation order (verified 2.7e-13 in
+    # f64), but at the normal(1.0) pool init this family's recurrence
+    # chaotically amplifies that noise (see the lockstep-harness pin-scale
+    # scan in PARITY.md) — compare at a well-conditioned parameter scale.
+    scaled = jax.tree.map(lambda a: a * 0.05, variables)
+    out_slow = slow.apply(scaled, skel, None, train=False)
+    for precompute_x in (False, True, "auto"):
+        fast_px = TARGCN(fast=True, precompute_x=precompute_x, **kwargs)
+        out_fast = fast_px.apply(scaled, skel, None, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_fast), np.asarray(out_slow), atol=2e-6,
+            err_msg=f"precompute_x={precompute_x}",
+        )
+    # identical init draws too: param RNG folds over identical scope paths
+    for (ka, a), (kb, b) in zip(
+        sorted(flatten_dict(variables["params"]).items()),
+        sorted(flatten_dict(v_slow["params"]).items()),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_targcn_full_model_matches_reference():
     """Complete TARGCN (2-layer graph-GRU encoder -> TA transformer ->
     last-6 conv predictor -> pooled head) with the reference state_dict
