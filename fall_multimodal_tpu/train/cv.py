@@ -59,6 +59,10 @@ def run_fold(
         scheduler=config.lr_scheduler,
         steps_per_epoch=steps_per_epoch,
         max_norm=config.train.max_norm,
+        # must match what --test-only / serve.Predictor.from_checkpoint
+        # rebuild from the full Config, or the orbax opt_state restore
+        # fails on a MultiSteps-vs-plain pytree mismatch
+        accum_iter=config.train.accum_iter,
     )
     state = create_train_state(
         model,
@@ -216,13 +220,19 @@ def _write_fold_artifacts(artifacts_dir: str, fold_i: int, result, logger=None):
     os.makedirs(fold_dir, exist_ok=True)
 
     hist = result.history
-    epochs_run = len(hist["train_loss"])
+    # After fit()'s NaN guard breaks mid-epoch, train_loss is one entry
+    # longer than the other series — keep every column and pad the short
+    # ones blank rather than silently dropping the curves.
+    epochs_run = max((len(v) for v in hist.values()), default=0)
     with open(os.path.join(fold_dir, "history.csv"), "w", newline="") as fh:
         writer = csv.writer(fh)
-        cols = [k for k in hist if len(hist[k]) == epochs_run]
+        cols = list(hist)
         writer.writerow(["epoch"] + cols)
         for e in range(epochs_run):
-            writer.writerow([e + 1] + [hist[c][e] for c in cols])
+            writer.writerow(
+                [e + 1]
+                + [hist[c][e] if e < len(hist[c]) else "" for c in cols]
+            )
 
     if result.test is not None:
         try:

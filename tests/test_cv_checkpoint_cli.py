@@ -117,6 +117,56 @@ def test_cli_end_to_end(tmp_path):
     assert "test_accuracy" in result2
 
 
+def test_fold_history_csv_keeps_all_columns_after_nan_break(tmp_path):
+    """After fit()'s NaN guard breaks mid-epoch, train_loss is one entry
+    longer than the other series; the fold artifact must keep every curve
+    (padding the short ones) instead of silently writing train_loss only."""
+    import csv
+    import types
+
+    from fall_multimodal_tpu.train.cv import _write_fold_artifacts
+
+    result = types.SimpleNamespace(
+        history={
+            "train_loss": [0.9, 0.5, float("nan")],
+            "train_accuracy": [0.3, 0.6],
+            "val_loss": [1.0, 0.8],
+            "val_accuracy": [0.2, 0.5],
+        },
+        test=None,
+    )
+    _write_fold_artifacts(str(tmp_path), 0, result)
+    with open(tmp_path / "fold0" / "history.csv") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == [
+        "epoch", "train_loss", "train_accuracy", "val_loss", "val_accuracy"
+    ]
+    assert len(rows) == 4                       # header + 3 epochs
+    assert rows[2][2] == "0.6"                  # curves present
+    assert rows[3][1] == "nan" and rows[3][2] == ""
+
+
+def test_cli_accum_iter_trains_and_restores(tmp_path):
+    """train.accum_iter must reach the training optimizer (run_fold once
+    dropped it, training without accumulation) AND the saved opt_state must
+    restore through --test-only, which rebuilds the optimizer from the full
+    Config (MultiSteps-wrapped) — a mismatch fails the orbax restore."""
+    from fall_multimodal_tpu.cli import main
+
+    out = str(tmp_path / "run")
+    args = [
+        "--config", "bilstm",
+        "--set", "data.num_classes=3",
+        "--set", "train.accum_iter=2",
+        "--output-dir", out,
+        "--synthetic-windows", "96",
+    ]
+    result = main(args + ["--epochs", "2"])
+    assert "test_accuracy" in result
+    result2 = main(args + ["--test-only"])
+    assert "test_accuracy" in result2
+
+
 def test_cli_cv_mode(tmp_path):
     from fall_multimodal_tpu.cli import main
 
