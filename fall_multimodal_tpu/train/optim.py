@@ -120,7 +120,15 @@ def build_optimizer(
         max_norm = cfg.train.max_norm
         accum_iter = cfg.train.accum_iter
         cfg = cfg.optim
-    lr = build_schedule(scheduler or SchedulerConfig(), cfg.lr, steps_per_epoch)
+    # Under MultiSteps the inner schedule's step count advances once per
+    # GRADIENT step (every accum_iter micro-steps), while steps_per_epoch
+    # arrives in micro-steps — pace the schedule in gradient steps so one
+    # schedule epoch stays one data epoch (the reference steps its
+    # scheduler per epoch regardless of ACCUM_ITER, main.py:321-322).
+    schedule_steps = steps_per_epoch
+    if accum_iter and accum_iter > 1:
+        schedule_steps = max(1, steps_per_epoch // accum_iter)
+    lr = build_schedule(scheduler or SchedulerConfig(), cfg.lr, schedule_steps)
 
     if cfg.type == "sgd":
         core = optax.sgd(lr, momentum=cfg.momentum or None)

@@ -126,12 +126,14 @@ def test_fold_history_csv_keeps_all_columns_after_nan_break(tmp_path):
 
     from fall_multimodal_tpu.train.cv import _write_fold_artifacts
 
+    # fit()'s exact history schema (loop.py builds these five series)
     result = types.SimpleNamespace(
         history={
             "train_loss": [0.9, 0.5, float("nan")],
-            "train_accuracy": [0.3, 0.6],
+            "train_acc": [0.3, 0.6],
             "val_loss": [1.0, 0.8],
-            "val_accuracy": [0.2, 0.5],
+            "val_acc": [0.2, 0.5],
+            "epoch_time": [0.1, 0.1],
         },
         test=None,
     )
@@ -139,7 +141,8 @@ def test_fold_history_csv_keeps_all_columns_after_nan_break(tmp_path):
     with open(tmp_path / "fold0" / "history.csv") as fh:
         rows = list(csv.reader(fh))
     assert rows[0] == [
-        "epoch", "train_loss", "train_accuracy", "val_loss", "val_accuracy"
+        "epoch", "train_loss", "train_acc", "val_loss", "val_acc",
+        "epoch_time",
     ]
     assert len(rows) == 4                       # header + 3 epochs
     assert rows[2][2] == "0.6"                  # curves present

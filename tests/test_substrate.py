@@ -264,6 +264,38 @@ def test_step_schedule_matches_timm_trajectory():
     assert float(warm(3)) == pytest.approx(1e-2)
 
 
+def test_schedule_pacing_under_grad_accum():
+    """With accum_iter > 1 the optax.MultiSteps-wrapped optimizer advances
+    its inner schedule once per GRADIENT step, while steps_per_epoch is
+    counted in micro-steps — build_optimizer must pace the schedule in
+    gradient steps so one schedule epoch remains one data epoch (the
+    reference steps its scheduler per epoch regardless of ACCUM_ITER,
+    main.py:321-322). Asserted on the actually-applied updates."""
+    micro_per_epoch, accum = 4, 2
+    opt = build_optimizer(
+        OptimConfig(type="sgd", lr=1.0, momentum=0.0, weight_decay=0.0),
+        scheduler=SchedulerConfig(
+            type="multistep", decay_steps=(1, 2), decay_rate=0.1, warmup_t=0
+        ),
+        steps_per_epoch=micro_per_epoch,
+        accum_iter=accum,
+    )
+    params = {"w": jnp.zeros(())}
+    opt_state = opt.init(params)
+    grads = {"w": jnp.ones(())}
+    applied = []
+    for _ in range(3 * micro_per_epoch):            # 3 data epochs
+        updates, opt_state = opt.update(grads, opt_state, params)
+        applied.append(-float(updates["w"]))        # sgd: update = -lr * g
+    # every 2nd micro-step applies; per data epoch: 2 gradient steps at
+    # that epoch's lr (1.0, then 0.1, then 0.01)
+    nonzero = [u for u in applied if u != 0.0]
+    assert len(nonzero) == 6
+    assert nonzero[:2] == pytest.approx([1.0, 1.0])
+    assert nonzero[2:4] == pytest.approx([0.1, 0.1])
+    assert nonzero[4:6] == pytest.approx([0.01, 0.01])
+
+
 def test_multistep_schedule_matches_timm_trajectory():
     """timm MultiStepLRScheduler: base * rate ** bisect_right(decay_t, t)
     — the boundary epoch itself already decays."""
