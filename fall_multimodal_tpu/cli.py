@@ -98,7 +98,7 @@ def load_cli_config(args):
         # covers uncoercible values (optim.lr=not_a_number), AttributeError
         # nested overrides onto scalar fields (optim.lr.min=1)
         raise SystemExit(f"invalid config override: {e}") from e
-    if args.epochs:
+    if args.epochs is not None:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, epochs=args.epochs))
     return cfg
 
@@ -143,6 +143,23 @@ def validate_args(args) -> None:
             "--mesh (batch data-parallelism) does not apply to "
             "--cv-vmapped; use --cv-mesh N to shard the fold axis"
         )
+    multi_run = args.cv or args.cv_vmapped or bool(args.grid)
+    if multi_run and (args.resume or args.pretrained):
+        # silently retraining every fold from scratch while the user thinks
+        # they resumed is worse than refusing
+        raise SystemExit(
+            "--resume/--pretrained apply to the single-split path only; "
+            "the CV and grid drivers build fresh per-fold/per-point states "
+            "(per-fold checkpoints live under <output-dir>/ckpt/fold{i})"
+        )
+    if multi_run and args.test_only:
+        raise SystemExit(
+            "--test-only applies to the single-split path only; to "
+            "re-evaluate a CV fold, point --resume at its fold checkpoint "
+            "dir without --cv"
+        )
+    if args.epochs is not None and args.epochs < 1:
+        raise SystemExit("--epochs must be >= 1")
 
 
 def main(argv=None) -> Dict:
@@ -164,6 +181,33 @@ def main(argv=None) -> Dict:
 
 
 def _run(args, cfg, out_dir) -> Dict:
+    # ensure buffered TensorBoard events reach disk: the writer's flush
+    # thread is a daemon with no atexit hook, so without an explicit close
+    # a short run can lose ALL its scalars
+    holder = {}
+    try:
+        return _run_inner(args, cfg, out_dir, holder)
+    finally:
+        if holder.get("writer") is not None:
+            holder["writer"].close()
+
+
+def _json_safe_history(hist):
+    """history.json must stay strict JSON: the NaN-guard appends
+    ``float('nan')`` to train_loss, which ``json.dump`` would emit as a bare
+    ``NaN`` token that strict parsers reject — encode non-finite as null."""
+    import math
+
+    return {
+        k: [
+            None if isinstance(v, float) and not math.isfinite(v) else v
+            for v in series
+        ]
+        for k, series in hist.items()
+    }
+
+
+def _run_inner(args, cfg, out_dir, holder) -> Dict:
     from fall_multimodal_tpu.data import load_dataset, split_dataset, to_device
     from fall_multimodal_tpu.models import build_model
     from fall_multimodal_tpu.train import (
@@ -216,7 +260,7 @@ def _run(args, cfg, out_dir) -> Dict:
     if args.tensorboard or args.grad_norms:
         from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(log_dir=out_dir)
+        writer = holder["writer"] = SummaryWriter(log_dir=out_dir)
 
         def metrics_callback(epoch, scalars):
             for name, value in scalars.items():
@@ -245,6 +289,13 @@ def _run(args, cfg, out_dir) -> Dict:
 
         grid = (reference_grid() if args.grid == "reference"
                 else json.loads(args.grid))
+        if not isinstance(grid, dict) or not all(
+            isinstance(v, (list, tuple)) for v in grid.values()
+        ):
+            raise SystemExit(
+                "--grid expects a JSON dict of lists, "
+                'e.g. \'{"embed_dim": [16, 32]}\''
+            )
         empty = [k for k, v in grid.items() if not list(v)]
         if not grid or empty:
             raise SystemExit(
@@ -353,7 +404,7 @@ def _run(args, cfg, out_dir) -> Dict:
     report = classification_report(result.test.confusion)
     logger.info("\n" + report)
     with open(os.path.join(out_dir, "history.json"), "w") as fh:
-        json.dump(result.history, fh, indent=2)
+        json.dump(_json_safe_history(result.history), fh, indent=2)
     with open(os.path.join(out_dir, "report.txt"), "w") as fh:
         fh.write(report)
     return {

@@ -109,6 +109,14 @@ class Predictor:
             # skeleton-only models ignore the stream; a (N,1,1) placeholder
             # keeps the uniform (skeleton, sensor) forward contract
             sensor = np.zeros((n, 1, 1), np.float32)
+        elif len(sensor) != n:
+            raise ValueError(
+                f"skeleton has {n} windows but sensor has {len(sensor)} — "
+                "the streams pair by index; counts must match"
+            )
+        if n == 0:
+            num_classes = self.config.data.num_classes
+            return np.zeros((0, num_classes), np.float32)
         outs = []
         for start in range(0, n, self.batch_size):
             sk = np.asarray(skeleton[start : start + self.batch_size], np.float32)

@@ -123,6 +123,7 @@ def run_fold(
         step_metrics_callback=step_metrics_callback,
         lr_fn=lr_fn if callable(lr_fn) else None,
         epoch_impl=config.train.epoch_impl,
+        log_every=config.logging_interval,
         mesh=mesh,
     )
 

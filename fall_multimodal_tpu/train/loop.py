@@ -270,6 +270,11 @@ def evaluate(
     data: DeviceData,
     batch_size: int,
 ) -> EvalResult:
+    if data.n == 0:
+        raise ValueError(
+            "evaluate() got an empty split (0 windows) — the dataset is too "
+            "small for the configured split fractions / fold count"
+        )
     idx = jnp.asarray(eval_batch_indices(data.n, batch_size))
     mask = jnp.asarray(eval_batch_mask(data.n, batch_size), jnp.float32)
     cm, loss_sum = eval_epoch(state, data, idx, mask)
@@ -442,8 +447,18 @@ def fit(
 def k_copies_logits(model, variables, skeleton, sensor, num_copies: int = 2):
     """Strided-segment inference average (``Multimodal_Fall3/main.py:150-161``):
     split the window into ``num_copies`` contiguous temporal slices, run the
-    model on each, average the logits. T axis is axis 1 in our layout."""
-    stride = skeleton.shape[1] // num_copies
+    model on each, average the logits. T axis is axis 1 in our layout.
+
+    ``num_copies`` must be in [1, T]; when it does not divide T the last
+    T %% num_copies frames are dropped (the reference's integer-stride
+    slicing does the same)."""
+    t_len = skeleton.shape[1]
+    if not 1 <= num_copies <= t_len:
+        raise ValueError(
+            f"num_copies={num_copies} must be between 1 and the window "
+            f"length T={t_len} (stride = T // num_copies would be 0)"
+        )
+    stride = t_len // num_copies
     outs = [
         model.apply(
             variables, skeleton[:, j * stride : (j + 1) * stride], sensor,

@@ -117,6 +117,42 @@ def test_cli_end_to_end(tmp_path):
     assert "test_accuracy" in result2
 
 
+def test_cli_rejects_conflicting_mode_flags(tmp_path):
+    """--resume/--pretrained/--test-only are single-split-path flags; the
+    CV and grid drivers would silently ignore them (retraining every fold
+    from scratch) — they must fail loudly. --epochs 0 likewise must not be
+    silently dropped by a falsy check. Malformed --grid JSON gets the clean
+    SystemExit, not an AttributeError/TypeError traceback."""
+    import pytest
+
+    from fall_multimodal_tpu.cli import main
+
+    base = ["--config", "bilstm", "--output-dir", str(tmp_path / "x")]
+    for extra in (
+        ["--cv", "--resume", "somewhere"],
+        ["--cv-vmapped", "--pretrained", "somewhere"],
+        ["--grid", "--resume", "somewhere"],
+        ["--cv", "--test-only"],
+        ["--epochs", "0"],
+        ["--grid", "[16, 32]"],
+        ["--grid", '{"embed_dim": 16}'],
+    ):
+        with pytest.raises(SystemExit):
+            main(base + extra)
+
+
+def test_json_safe_history_encodes_nan_as_null():
+    import json as json_mod
+
+    from fall_multimodal_tpu.cli import _json_safe_history
+
+    safe = _json_safe_history({"train_loss": [0.5, float("nan")],
+                               "val_acc": [0.3, 0.4]})
+    text = json_mod.dumps(safe)
+    assert "NaN" not in text
+    assert json_mod.loads(text)["train_loss"] == [0.5, None]
+
+
 def test_fold_history_csv_keeps_all_columns_after_nan_break(tmp_path):
     """After fit()'s NaN guard breaks mid-epoch, train_loss is one entry
     longer than the other series; the fold artifact must keep every curve
@@ -392,7 +428,10 @@ def test_cli_grad_norms_on_cv_path(tmp_path, monkeypatch):
 
     class FakeWriter:
         def __init__(self, log_dir=None):
-            pass
+            self.closed = False
+
+        def close(self):
+            self.closed = True
 
         def add_scalar(self, name, value, step):
             seen.append((name, step))
@@ -539,7 +578,10 @@ def test_cli_tensorboard_on_cv_path(tmp_path, monkeypatch):
 
     class FakeWriter:
         def __init__(self, log_dir=None):
-            pass
+            self.closed = False
+
+        def close(self):
+            self.closed = True
 
         def add_scalar(self, name, value, step):
             seen.append((name, step))
@@ -630,7 +672,10 @@ def test_cli_grid_tensorboard_uses_point_prefix(tmp_path, monkeypatch):
 
     class FakeWriter:
         def __init__(self, log_dir=None):
-            pass
+            self.closed = False
+
+        def close(self):
+            self.closed = True
 
         def add_scalar(self, name, value, step):
             seen.append(name)

@@ -123,6 +123,24 @@ def test_sensor_none_raises_for_sensor_consuming_model(trained):
         pred.predict_logits(data.features[:8])
 
 
+def test_mismatched_sensor_count_raises(trained):
+    cfg, ckpt_dir, data = trained
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=8,
+    )
+    with pytest.raises(ValueError, match="counts must match"):
+        pred.predict_logits(data.features[:8], data.sensors[:4])
+
+
+def test_empty_input_returns_empty_logits(trained):
+    cfg, ckpt_dir, data = trained
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=8,
+    )
+    out = pred.predict_logits(data.features[:0], data.sensors[:0])
+    assert out.shape == (0, cfg.data.num_classes)
+
+
 def test_sensor_none_ok_for_skeleton_only_model():
     """Skeleton-only families accept sensor=None (placeholder keeps the
     uniform forward contract, never consumed)."""
