@@ -64,6 +64,14 @@ def load_pickle_windows(paths: Union[str, Sequence[str]]) -> WindowedDataset:
         if s is not None:
             sens.append(np.asarray(s, dtype=np.float32))
 
+    if sens and not has_sensor:
+        # a silent drop here would train a multimodal model on the all-zeros
+        # sensor placeholder
+        raise ValueError(
+            "inconsistent pickles: some files carry a sensor stream and "
+            "some do not — load them separately or regenerate the "
+            "sensorless files with sensor windows"
+        )
     return WindowedDataset(
         features=np.concatenate(feats),
         labels=np.concatenate(labs),
@@ -146,10 +154,12 @@ def load_dataset(
     """Uniform entry: real data when ``path`` is given, else synthetic with
     the dataset's canonical shapes (explicit args always win)."""
     if path is not None:
+        # sequence of pickle paths first: os.path.isdir(list) raises
+        if not isinstance(path, (str, os.PathLike)):
+            return load_pickle_windows(list(path))
         if os.path.isdir(path):
             return load_csv_windows(path, seq_len=seq_len)
-        paths = [path] if isinstance(path, str) else list(path)
-        return load_pickle_windows(paths)
+        return load_pickle_windows([path])
     preset = _SHAPE_PRESETS.get(dataset, {})
     return make_synthetic(
         n_windows=n_windows,

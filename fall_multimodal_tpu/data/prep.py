@@ -309,15 +309,22 @@ def normalize_sensor_csv(path_or_df, accel_columns=HARUP_ACCEL_COLUMNS):
     return df[keep]
 
 
-def join_pose_and_sensor(pose_df, sensor_df, accel_columns=HARUP_ACCEL_COLUMNS):
+def join_pose_and_sensor(pose_df, sensor_df, accel_columns=None):
     """Row-align sensor channels onto the pose table
-    (``har_create4_sensor.py:84-96``)."""
+    (``har_create4_sensor.py:84-96``). ``accel_columns`` restricts the
+    joined sensor channels (default: every non-meta column, as the
+    reference joins whatever ``normalize_sensor_csv`` kept)."""
     import pandas as pd
 
     sensor = sensor_df.drop(
         columns=[c for c in ("TimeStamps", "Subject", "Activity")
                  if c in sensor_df.columns]
     ).reset_index(drop=True)
+    if accel_columns is not None:
+        missing = [c for c in accel_columns if c not in sensor.columns]
+        if missing:
+            raise KeyError(f"sensor CSV lacks requested columns: {missing}")
+        sensor = sensor[list(accel_columns)]
     return pd.concat([pose_df.reset_index(drop=True), sensor], axis=1)
 
 
@@ -353,10 +360,15 @@ def build_windowed_dataset(
     n_joints = len(joint_cols) // 3
 
     videos, feats, sens, labs = [], [], [], []
-    for vid in df["video"].unique():
-        vdf = df[df["video"] == vid].reset_index(drop=True)
-        # NaN filter over the joint columns
-        vdf = vdf[~vdf[joint_cols].isna().any(axis=1)].reset_index(drop=True)
+    for vid, vdf in df.groupby("video", sort=False):
+        vdf = vdf.reset_index(drop=True)
+        # NaN filter: the reference filters pose NaNs (har_create4.py:30-32);
+        # sensor columns are filtered too so a short/misaligned sensor join
+        # cannot push NaN windows into training (NaN loss at epoch 1 with no
+        # hint of the data cause)
+        vdf = vdf[
+            ~vdf[joint_cols + sensor_columns].isna().any(axis=1)
+        ].reset_index(drop=True)
         if len(vdf) < n_frames + 1:
             continue
 
@@ -375,7 +387,7 @@ def build_windowed_dataset(
             if add_center:
                 pose = add_center_joint(pose)
             seg_labels = score_weighted_labels(
-                labels[seg], pose[:, :, 2]
+                labels[seg], pose[:, :, 2], has_center=add_center
             )
             sensor = (
                 vdf.iloc[seg][sensor_columns].to_numpy(float)

@@ -69,15 +69,19 @@ def add_center_joint(pose: np.ndarray) -> np.ndarray:
 
 
 def score_weighted_labels(
-    labels: np.ndarray, scores: np.ndarray, boost: float = 1.5
+    labels: np.ndarray, scores: np.ndarray, boost: float = 1.5,
+    has_center: bool = True,
 ) -> np.ndarray:
     """Scale per-frame label rows by the mean keypoint confidence.
 
     Main parts (shoulders/hips/center) are boosted ``boost``x and clipped to
-    1 before the mean (``har_create4.py:114-123``).
+    1 before the mean (``har_create4.py:114-123``). The reference always
+    appends the center joint before this step, so index -1 IS the center;
+    with ``has_center=False`` (center joint not appended) the -1 slot would
+    be a real joint (RAnkle) — boost only the shoulder/hip parts then.
     """
     scr = scores.copy()
-    idx = np.asarray(MAIN_IDX_PARTS)
+    idx = np.asarray(MAIN_IDX_PARTS if has_center else MAIN_IDX_PARTS[:-1])
     scr[..., idx] = np.minimum(scr[..., idx] * boost, 1.0)
     return labels * scr.mean(axis=-1, keepdims=True)
 

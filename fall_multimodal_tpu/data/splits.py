@@ -46,6 +46,9 @@ def train_valid_test_split(
         "test": units[perm[n_train + n_valid :]],
     }
     if split[2] == 0:  # reference: test aliases valid when no test fraction
+        # valid takes ALL remaining units — with round() both fractions can
+        # round down, and the leftover must not be silently dropped
+        groups["valid"] = units[perm[n_train:]]
         groups["test"] = groups["valid"]
 
     out: Dict[str, np.ndarray] = {}
@@ -107,6 +110,12 @@ def kfold_indices(
     units = (
         np.unique(video_of_sample) if by_video else np.arange(len(video_of_sample))
     )
+    if n_folds > len(units):
+        raise ValueError(
+            f"n_folds={n_folds} exceeds the {len(units)} available "
+            f"{'unique videos' if by_video else 'samples'} — empty folds "
+            "would crash downstream"
+        )
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(units))
     fold_unit_ids = np.array_split(perm, n_folds)

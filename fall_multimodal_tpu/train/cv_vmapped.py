@@ -223,8 +223,11 @@ def cross_validate_vmapped(
         for k, f in enumerate(folds):
             perm = rng.permutation(f["train"])
             need = steps * batch
-            if need > len(perm):  # wraparound for the smallest folds
-                perm = np.concatenate([perm, perm[: need - len(perm)]])
+            if need > len(perm):  # wraparound for the smallest folds —
+                # tile as many times as needed (a fold can be smaller
+                # than half the batch)
+                reps = -(-need // len(perm))
+                perm = np.tile(perm, reps)
             idx[k] = perm[:need].reshape(steps, batch)
         states, tm = epoch_vm(states, dev, put_folded(idx))
         per_step_norms = tm.pop("grad_norms", None)

@@ -29,12 +29,31 @@ class Checkpointer:
         return os.path.join(self.directory, name)
 
     def _save(self, name: str, state: TrainState, epoch: int, best_acc: float):
+        """Write-then-swap: ``force=True`` on the final path would delete
+        the existing checkpoint BEFORE the new one commits, leaving a
+        crash/OOM window with no resumable state. Save to a tmp name, move
+        the old aside, swap, then drop the old; restore() falls back to the
+        ``.prev`` copy if a crash lands inside the swap."""
+        import shutil
+
         payload = {
             "state": state._asdict(),
             "epoch": np.asarray(epoch),
             "best_acc": np.asarray(best_acc),
         }
-        self._ckpt.save(self._path(name), payload, force=True)
+        final, tmp, prev = (
+            self._path(name), self._path(f"{name}.tmp"), self._path(f"{name}.prev")
+        )
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, payload, force=True)
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
+        if os.path.isdir(final):
+            os.rename(final, prev)
+        os.rename(tmp, final)
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
 
     def save_best(self, state: TrainState, epoch: int, best_acc: float) -> None:
         self._save("best", state, epoch, best_acc)
@@ -52,9 +71,16 @@ class Checkpointer:
             "epoch": np.asarray(0),
             "best_acc": np.asarray(0.0),
         }
-        payload = self._ckpt.restore(self._path(name), item=target)
+        path = self._path(name)
+        if not os.path.isdir(path) and os.path.isdir(self._path(f"{name}.prev")):
+            # a crash landed inside _save's swap — the moved-aside previous
+            # checkpoint is the newest complete state
+            path = self._path(f"{name}.prev")
+        payload = self._ckpt.restore(path, item=target)
         state = TrainState(**payload["state"])
         return state, int(payload["epoch"]), float(payload["best_acc"])
 
     def has(self, name: str) -> bool:
-        return os.path.isdir(self._path(name))
+        return os.path.isdir(self._path(name)) or os.path.isdir(
+            self._path(f"{name}.prev")
+        )

@@ -51,6 +51,44 @@ def test_grid_search_keeps_grid_order_and_ranks(tiny_data):
     assert best["val_accuracy"] == max(r["val_accuracy"] for r in rows)
 
 
+def test_vmapped_cv_fold_smaller_than_half_batch(tiny_data):
+    """Wraparound padding must tile the permutation as many times as the
+    batch needs — a fold smaller than batch//2 once crashed the reshape."""
+    from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
+
+    cfg = _cfg(**{"train.batch_size": 96})   # fold train ~= 80 < 96
+    results = cross_validate_vmapped(cfg, tiny_data, n_folds=3, epochs=1)
+    assert len(results["folds"]) == 3
+
+
+def test_checkpoint_survives_crash_during_swap(tmp_path, tiny_data):
+    """save must never delete the only resumable state before the new one
+    commits; restore falls back to the moved-aside copy if a crash lands
+    inside the swap."""
+    import shutil
+
+    cfg = _cfg()
+    splits = {
+        k: to_device(v) for k, v in split_dataset(tiny_data, seed=1).items()
+    }
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, splits["train"].features[:2], splits["train"].sensors[:2]
+    )
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save_latest(state, epoch=1, best_acc=0.5)
+    ckpt.save_latest(state, epoch=2, best_acc=0.6)      # overwrite path
+    _, epoch, best = ckpt.restore("latest", state)
+    assert epoch == 2 and best == pytest.approx(0.6)
+    # simulate a crash between the two renames: final missing, .prev present
+    final = os.path.join(str(tmp_path / "ckpt"), "latest")
+    shutil.move(final, final + ".prev")
+    assert ckpt.has("latest")
+    _, epoch, best = ckpt.restore("latest", state)
+    assert epoch == 2 and best == pytest.approx(0.6)
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_data):
     cfg = _cfg()
     splits = {

@@ -172,6 +172,72 @@ def test_pickle_roundtrip(tmp_path):
     assert loaded.num_classes == data.num_classes
 
 
+def test_score_weighted_labels_without_center():
+    """With add_center=False the -1 slot is a real joint (RAnkle), not the
+    appended center — the boost must cover shoulders/hips only."""
+    from fall_multimodal_tpu.data.preprocess import score_weighted_labels
+
+    scores = np.full((2, 13), 0.5)
+    labels = np.ones((2, 3))
+    out = score_weighted_labels(labels, scores, has_center=False)
+    boosted = scores.copy()
+    boosted[:, [1, 2, 7, 8]] = 0.75
+    np.testing.assert_allclose(out, labels * boosted.mean(-1, keepdims=True))
+
+
+def test_split_no_test_fraction_keeps_every_video():
+    """split[2]==0 (the _egawa valid==test alias): banker's rounding can
+    round BOTH fractions down — the leftover video must land in valid, not
+    vanish."""
+    vids = np.repeat([f"v{i}" for i in range(5)], 4)
+    idx = train_valid_test_split(vids, split=(0.5, 0.5, 0.0), seed=0)
+    covered = np.sort(np.concatenate([idx["train"], idx["valid"]]))
+    np.testing.assert_array_equal(covered, np.arange(len(vids)))
+    np.testing.assert_array_equal(idx["valid"], idx["test"])
+
+
+def test_kfold_more_folds_than_videos_raises():
+    vids = np.repeat(["a", "b", "c"], 5)
+    with pytest.raises(ValueError, match="n_folds"):
+        kfold_indices(vids, n_folds=5)
+
+
+def test_load_dataset_accepts_path_sequence(tmp_path):
+    import pickle
+
+    from fall_multimodal_tpu.data import load_dataset
+
+    paths = []
+    for i in range(2):
+        data = make_synthetic(n_windows=16, seed=i)
+        p = tmp_path / f"s{i}.pkl"
+        with open(p, "wb") as fh:
+            pickle.dump(
+                (data.videos.tolist(), data.features, data.sensors,
+                 data.labels), fh,
+            )
+        paths.append(str(p))
+    loaded = load_dataset("harup", path=paths)
+    assert len(loaded) == 32
+
+
+def test_mixed_sensor_pickles_raise(tmp_path):
+    import pickle
+
+    data = make_synthetic(n_windows=16, seed=0)
+    with_s = tmp_path / "with.pkl"
+    without = tmp_path / "without.pkl"
+    with open(with_s, "wb") as fh:
+        pickle.dump(
+            (data.videos.tolist(), data.features, data.sensors, data.labels),
+            fh,
+        )
+    with open(without, "wb") as fh:
+        pickle.dump((data.videos.tolist(), data.features, data.labels), fh)
+    with pytest.raises(ValueError, match="inconsistent pickles"):
+        load_pickle_windows([str(with_s), str(without)])
+
+
 def test_device_pipeline_epoch():
     data = make_synthetic(n_windows=70, num_classes=4, sensor_dim=6, seed=4)
     dev = to_device(data)

@@ -75,6 +75,21 @@ def test_nan_rows_are_dropped(rng):
     assert len(data) < len(full)
 
 
+def test_nan_sensor_rows_are_dropped(rng):
+    """A short/misaligned sensor join pads the tail with NaN — those rows
+    must be filtered like pose-NaN rows, or training aborts at epoch 1 with
+    a NaN loss and no hint of the data cause."""
+    annot = _synthetic_annot(rng, n_videos=1)
+    cols = list(HARUP_ACCEL_COLUMNS)
+    annot.loc[len(annot) - 10 :, cols[0]] = np.nan    # NaN sensor tail
+    data = build_windowed_dataset(annot, n_frames=30, sensor_columns=cols)
+    full = build_windowed_dataset(
+        _synthetic_annot(rng, n_videos=1), n_frames=30, sensor_columns=cols
+    )
+    assert len(data) < len(full)
+    assert np.isfinite(data.sensors).all()
+
+
 def test_annotation_csv_builder(tmp_path):
     df = build_annotation_csv(
         {"vidA": [(0, "Fall"), (1, "Fall")], "vidB": [(0, "Walk")]},
