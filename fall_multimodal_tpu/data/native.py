@@ -39,13 +39,23 @@ def _build_library() -> Optional[str]:
         _SOURCE
     ):
         return so_path
+    # compile to a unique temp name, then atomically rename into place:
+    # two processes hitting first-use concurrently must not interleave
+    # writes into the shared cache path (a corrupt .so with fresh mtime
+    # would never be rebuilt)
+    tmp_path = f"{so_path}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        _SOURCE, "-o", so_path,
+        _SOURCE, "-o", tmp_path,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, so_path)
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return None
     return so_path
 
@@ -97,6 +107,8 @@ def slice_windows_numpy(
     Gen-1/2 per-video ``range(n - seq_len)`` convention, har_create4.py:125):
     a window is kept only if the row after its end exists in the same video.
     """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     n = len(data)
     count = n - seq_len + 1
     if count <= 0:
@@ -126,6 +138,8 @@ def slice_windows(
     include_last: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-video stride-1 windows with NaN rejection (native when possible)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     lib = _load()
     if lib is None:
         return slice_windows_numpy(data, video_codes, seq_len, include_last)
@@ -148,7 +162,12 @@ def slice_windows(
         codes.ctypes.data_as(i64p), i64(seq_len), int(include_last),
         out.ctypes.data_as(f32p), starts.ctypes.data_as(i64p),
     )
-    assert written == count
+    if written != count:
+        # a real guard, not an assert: under python -O a count/slice
+        # disagreement would otherwise return uninitialized rows
+        raise RuntimeError(
+            f"native slicer wrote {written} windows but counted {count}"
+        )
     return out, starts
 
 

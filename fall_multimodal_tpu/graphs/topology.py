@@ -207,6 +207,10 @@ def build_adjacency(
 
 def binary_adjacency(layout: str = "coco_cut", max_hop: int = 1) -> np.ndarray:
     """Unnormalized 0/1 reachability within ``max_hop`` (incl. self-loops)."""
+    if layout not in LAYOUTS:
+        raise ValueError(
+            f"Unknown layout {layout!r}; available: {sorted(LAYOUTS)}"
+        )
     lay = LAYOUTS[layout]
     hops = hop_distance(lay.num_node, lay.edges, max_hop)
     return (np.isfinite(hops)).astype(np.float64)

@@ -21,11 +21,17 @@ from fall_multimodal_tpu.models.fusion import (
 from fall_multimodal_tpu.models.sensors import BiLSTMHead, CnnBiLSTMHead
 
 _REGISTRY: Dict[str, Callable[[Config, Dict[str, Any]], nn.Module]] = {}
+# Families whose forward actually reads the sensor stream (the rest accept
+# it positionally and ignore it — the uniform (skeleton, sensor) contract).
+# Declared ON the registration so the fact cannot drift from the registry.
+_SENSOR_CONSUMERS = set()
 
 
-def register(name: str):
+def register(name: str, uses_sensor: bool = False):
     def deco(fn):
         _REGISTRY[name] = fn
+        if uses_sensor:
+            _SENSOR_CONSUMERS.add(name)
         return fn
 
     return deco
@@ -33,17 +39,6 @@ def register(name: str):
 
 def model_names():
     return sorted(_REGISTRY)
-
-
-# Families whose forward actually reads the sensor stream (the rest accept
-# it positionally and ignore it — the uniform (skeleton, sensor) contract).
-_SENSOR_CONSUMERS = {
-    "bilstm",
-    "cnn_bilstm",
-    "two_stgcan_bilstm",
-    "gstcan_3stream",
-    "transformer_ensemble",
-}
 
 
 def uses_sensor(name: str) -> bool:
@@ -92,7 +87,7 @@ def _two_stgcan(cfg: Config, kw):
     )
 
 
-@register("two_stgcan_bilstm")
+@register("two_stgcan_bilstm", uses_sensor=True)
 def _two_stgcan_bilstm(cfg: Config, kw):
     kw.setdefault("sensor_encoder", "bilstm")
     return ThreeStreamGSTCAN(
@@ -103,7 +98,7 @@ def _two_stgcan_bilstm(cfg: Config, kw):
     )
 
 
-@register("gstcan_3stream")
+@register("gstcan_3stream", uses_sensor=True)
 def _gstcan_3stream(cfg: Config, kw):
     kw.setdefault("sensor_encoder", "cnn_bilstm")
     return ThreeStreamGSTCAN(
@@ -114,12 +109,12 @@ def _gstcan_3stream(cfg: Config, kw):
     )
 
 
-@register("bilstm")
+@register("bilstm", uses_sensor=True)
 def _bilstm(cfg: Config, kw):
     return _SensorOnly(BiLSTMHead(num_classes=cfg.data.num_classes, **kw))
 
 
-@register("cnn_bilstm")
+@register("cnn_bilstm", uses_sensor=True)
 def _cnn_bilstm(cfg: Config, kw):
     return _SensorOnly(CnnBiLSTMHead(num_classes=cfg.data.num_classes, **kw))
 
@@ -187,7 +182,7 @@ def _skeleton_transformer_fact(cfg: Config, kw):
     )
 
 
-@register("transformer_ensemble")
+@register("transformer_ensemble", uses_sensor=True)
 def _transformer_ensemble(cfg: Config, kw):
     from fall_multimodal_tpu.models.fusion import TransformerEnsemble
 

@@ -34,6 +34,10 @@ class BiLSTMHead(nn.Module):
 
     @nn.compact
     def __call__(self, sensor: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.feature not in ("last", "mean"):
+            raise ValueError(
+                f"feature must be 'last' or 'mean', got {self.feature!r}"
+            )
         out = BiLSTMLayer(self.hidden_size)(sensor)
         if self.feature == "last":
             out = out[:, -1, :]

@@ -19,11 +19,9 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fall_multimodal_tpu.data.pipeline import DeviceData, gather_batch
+from fall_multimodal_tpu.data.pipeline import DeviceData
 from fall_multimodal_tpu.train.loop import make_train_step
 from fall_multimodal_tpu.train.state import TrainState
 

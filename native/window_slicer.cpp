@@ -16,19 +16,12 @@
 #include <cstring>
 #include <vector>
 
-extern "C" {
+namespace {
 
-// Count valid windows. video_ids must be row-aligned group codes (rows of
-// one video contiguous). include_last=0 reproduces the Gen-1/2 prep
-// convention range(n - seq_len) *per video* (har_create4.py:125): each
-// video's final full window is dropped, i.e. a window is kept only if the
-// row after its end exists and belongs to the same video. include_last=1
-// is the Gen-3 convention (every final full window kept).
-int64_t fm_count_windows(const float* data, int64_t n_rows, int64_t n_cols,
-                         const int64_t* video_ids, int64_t seq_len,
-                         int include_last) {
-  if (n_rows < seq_len) return 0;
-  // prefix sums of per-row NaN flags
+// prefix sums of per-row NaN flags: nan_prefix[r+1]-nan_prefix[s] == 0 iff
+// rows [s, r] are NaN-free
+std::vector<int64_t> build_nan_prefix(const float* data, int64_t n_rows,
+                                      int64_t n_cols) {
   std::vector<int64_t> nan_prefix(n_rows + 1, 0);
   for (int64_t r = 0; r < n_rows; ++r) {
     int has_nan = 0;
@@ -38,14 +31,43 @@ int64_t fm_count_windows(const float* data, int64_t n_rows, int64_t n_cols,
     }
     nan_prefix[r + 1] = nan_prefix[r] + has_nan;
   }
+  return nan_prefix;
+}
+
+// The single validity rule shared by count and slice (they MUST agree or
+// the caller's pre-sized output buffer ends up partially uninitialized).
+// include_last=0 reproduces the Gen-1/2 prep convention range(n - seq_len)
+// *per video* (har_create4.py:125): each video's final full window is
+// dropped, i.e. a window is kept only if the row after its end exists and
+// belongs to the same video. include_last=1 is the Gen-3 convention (every
+// final full window kept).
+inline bool window_valid(const int64_t* video_ids,
+                         const std::vector<int64_t>& nan_prefix,
+                         int64_t n_rows, int64_t seq_len, int include_last,
+                         int64_t s) {
+  if (video_ids[s] != video_ids[s + seq_len - 1]) return false;
+  if (!include_last &&
+      (s + seq_len >= n_rows || video_ids[s + seq_len] != video_ids[s]))
+    return false;
+  return nan_prefix[s + seq_len] - nan_prefix[s] == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count valid windows. video_ids must be row-aligned group codes (rows of
+// one video contiguous). seq_len < 1 yields 0 (the Python wrapper raises
+// before calling; this guard keeps the C ABI memory-safe regardless).
+int64_t fm_count_windows(const float* data, int64_t n_rows, int64_t n_cols,
+                         const int64_t* video_ids, int64_t seq_len,
+                         int include_last) {
+  if (seq_len < 1 || n_rows < seq_len) return 0;
+  const std::vector<int64_t> nan_prefix = build_nan_prefix(data, n_rows, n_cols);
   int64_t count = 0;
   for (int64_t s = 0; s <= n_rows - seq_len; ++s) {
-    if (video_ids[s] != video_ids[s + seq_len - 1]) continue;
-    if (!include_last &&
-        (s + seq_len >= n_rows || video_ids[s + seq_len] != video_ids[s]))
-      continue;
-    if (nan_prefix[s + seq_len] - nan_prefix[s] > 0) continue;
-    ++count;
+    if (window_valid(video_ids, nan_prefix, n_rows, seq_len, include_last, s))
+      ++count;
   }
   return count;
 }
@@ -56,24 +78,13 @@ int64_t fm_slice_windows(const float* data, int64_t n_rows, int64_t n_cols,
                          const int64_t* video_ids, int64_t seq_len,
                          int include_last, float* out,
                          int64_t* out_start_rows) {
-  if (n_rows < seq_len) return 0;
-  std::vector<int64_t> nan_prefix(n_rows + 1, 0);
-  for (int64_t r = 0; r < n_rows; ++r) {
-    int has_nan = 0;
-    const float* row = data + r * n_cols;
-    for (int64_t c = 0; c < n_cols; ++c) {
-      if (std::isnan(row[c])) { has_nan = 1; break; }
-    }
-    nan_prefix[r + 1] = nan_prefix[r] + has_nan;
-  }
+  if (seq_len < 1 || n_rows < seq_len) return 0;
+  const std::vector<int64_t> nan_prefix = build_nan_prefix(data, n_rows, n_cols);
   int64_t w = 0;
   const int64_t window_bytes = seq_len * n_cols * sizeof(float);
   for (int64_t s = 0; s <= n_rows - seq_len; ++s) {
-    if (video_ids[s] != video_ids[s + seq_len - 1]) continue;
-    if (!include_last &&
-        (s + seq_len >= n_rows || video_ids[s + seq_len] != video_ids[s]))
+    if (!window_valid(video_ids, nan_prefix, n_rows, seq_len, include_last, s))
       continue;
-    if (nan_prefix[s + seq_len] - nan_prefix[s] > 0) continue;
     std::memcpy(out + w * seq_len * n_cols, data + s * n_cols, window_bytes);
     out_start_rows[w] = s;
     ++w;
