@@ -125,6 +125,21 @@ class Config:
         return dataclasses.asdict(self)
 
 
+def _parse_untyped(value: Any) -> Any:
+    """``model.kwargs`` values have no dataclass type to coerce onto;
+    recover numerics that YAML leaves as strings (PyYAML parses the
+    dotless-exponent form ``'1e-3'`` as a string, so a ``--set
+    model.kwargs.keep_prob=1e-3`` would otherwise reach the model as a
+    str and fail at trace time)."""
+    if isinstance(value, str):
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except ValueError:
+                pass
+    return value
+
+
 def _coerce(value: Any, typ: Any) -> Any:
     """Coerce YAML scalars onto dataclass field types (tuples, optionals)."""
     origin = getattr(typ, "__origin__", None)
@@ -156,7 +171,7 @@ def _build(cls, data: Mapping[str, Any]):
         if k in _SECTION_TYPES:
             kwargs[k] = _build(_SECTION_TYPES[k], value)
         elif k == "kwargs":
-            kwargs[k] = dict(value)
+            kwargs[k] = {kk: _parse_untyped(vv) for kk, vv in dict(value).items()}
         else:
             typ = hints[k]
             if getattr(typ, "__origin__", None) is Union:  # Optional[...]

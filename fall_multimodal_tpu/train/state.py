@@ -63,10 +63,11 @@ def param_count(state: TrainState, exclude: str = "") -> int:
     ``fc``, ``musa_model.py:16-18``)."""
     if not exclude:
         return sum(int(x.size) for x in jax.tree.leaves(state.params))
+    from fall_multimodal_tpu.utils.profiling import tree_path_str
+
     flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
     total = 0
     for path, leaf in flat:
-        name = ".".join(str(getattr(pp, "key", getattr(pp, "name", pp))) for pp in path)
-        if exclude not in name:
+        if exclude not in tree_path_str(path):
             total += int(leaf.size)
     return total

@@ -33,6 +33,16 @@ def create_logger(
     level: int = logging.INFO,
 ) -> logging.Logger:
     logger = logging.getLogger(name)
+    # logging.getLogger returns the same named logger process-wide: a second
+    # run in one process (tests, notebooks, in-process grids) with a new
+    # output_dir would otherwise STACK handlers — duplicated console lines
+    # and run B's records appended into run A's log file
+    for handler in list(logger.handlers):
+        logger.removeHandler(handler)
+        try:
+            handler.close()
+        except Exception:
+            pass
     logger.setLevel(level)
     logger.propagate = False
     fmt = "[%(asctime)s %(name)s] (%(filename)s:%(lineno)d) %(levelname)s: %(message)s"

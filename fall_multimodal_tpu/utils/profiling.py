@@ -72,16 +72,21 @@ def global_norm(tree: Any) -> jnp.ndarray:
     )
 
 
+def tree_path_str(path) -> str:
+    """Dotted name of a tree_flatten_with_path key path — the one shared
+    formatter (grad_norms / model_summary / state.param_count once carried
+    three hand-rolled copies, one missing the str() wrap for non-string
+    keys like int DictKeys)."""
+    return ".".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+
+
 def grad_norms(grads: Any) -> Dict[str, jnp.ndarray]:
     """Per-parameter L2 norms keyed by dotted path (the reference logged one
     TB scalar per parameter each optimizer step, ``main.py:84-89``)."""
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     out = {}
     for path, leaf in flat:
-        name = ".".join(
-            getattr(p, "key", getattr(p, "name", str(p))) for p in path
-        )
-        out[name] = jnp.linalg.norm(leaf.ravel())
+        out[tree_path_str(path)] = jnp.linalg.norm(leaf.ravel())
     return out
 
 
@@ -91,9 +96,7 @@ def model_summary(params: Any) -> str:
     lines = [f"{'path':<64}{'shape':<20}{'params':>12}"]
     total = 0
     for path, leaf in flat:
-        name = ".".join(
-            str(getattr(p, "key", getattr(p, "name", p))) for p in path
-        )
+        name = tree_path_str(path)
         n = int(leaf.size)
         total += n
         lines.append(f"{name:<64}{str(leaf.shape):<20}{n:>12,}")

@@ -264,6 +264,37 @@ def test_step_schedule_matches_timm_trajectory():
     assert float(warm(3)) == pytest.approx(1e-2)
 
 
+def test_model_kwargs_override_recovers_numeric_strings():
+    """PyYAML parses '1e-3' as a string; typed fields coerce it via the
+    dataclass type but model.kwargs has no type — the loader must recover
+    numerics itself or they crash at trace time."""
+    cfg = load_config(
+        preset_path("musa_harup"),
+        overrides={"model.kwargs.keep_prob": "1e-3",
+                   "model.kwargs.n_stage": "2",
+                   "model.kwargs.act_type": "tanh"},
+    )
+    assert cfg.model.kwargs["keep_prob"] == pytest.approx(1e-3)
+    assert cfg.model.kwargs["n_stage"] == 2
+    assert cfg.model.kwargs["act_type"] == "tanh"
+
+
+def test_create_logger_does_not_stack_handlers(tmp_path):
+    """The same named logger must not accumulate handlers across runs in
+    one process (duplicated console lines; run B's records appended into
+    run A's log file)."""
+    from fall_multimodal_tpu.utils.logging import create_logger
+
+    lg1 = create_logger(output_dir=str(tmp_path / "a"), name="fmt.test")
+    n1 = len(lg1.handlers)
+    lg2 = create_logger(output_dir=str(tmp_path / "b"), name="fmt.test")
+    assert lg2 is lg1
+    assert len(lg2.handlers) == n1          # reconfigured, not stacked
+    files = [h for h in lg2.handlers
+             if getattr(h, "baseFilename", "").startswith(str(tmp_path / "b"))]
+    assert files                            # file handler points at run B
+
+
 def test_schedule_pacing_under_grad_accum():
     """With accum_iter > 1 the optax.MultiSteps-wrapped optimizer advances
     its inner schedule once per GRADIENT step, while steps_per_epoch is
