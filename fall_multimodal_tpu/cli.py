@@ -55,7 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--test-only", action="store_true")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--pretrained", default=None,
-                   help="checkpoint dir to load best weights from (fresh training)")
+                   help="weights to start fresh training from: a checkpoint "
+                        "dir (loads best), or a reference torch checkpoint "
+                        "file (.pt/.pth/.npz, converted via interop)")
     p.add_argument("--synthetic-windows", type=int, default=2048,
                    help="synthetic dataset size when no --data-path")
     p.add_argument("--tensorboard", action="store_true",

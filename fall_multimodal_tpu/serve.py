@@ -95,6 +95,19 @@ class Predictor:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         return cls(config, variables, **kwargs)
 
+    @classmethod
+    def from_torch_checkpoint(
+        cls, config: Config, path: str, strict: bool = True, **kwargs
+    ) -> "Predictor":
+        """Serve a checkpoint trained with the REFERENCE (PyTorch) code:
+        ``best_model.pt`` / ``checkpoint.pt`` / ``.npz`` of named arrays,
+        converted via :mod:`fall_multimodal_tpu.interop` (validated
+        key-for-key against this config's model)."""
+        from fall_multimodal_tpu.interop import load_pretrained_torch
+
+        variables = load_pretrained_torch(config, path, strict=strict)
+        return cls(config, variables, **kwargs)
+
     def predict_logits(
         self, skeleton: np.ndarray, sensor: Optional[np.ndarray] = None
     ) -> np.ndarray:
@@ -327,7 +340,10 @@ def main(argv=None):
 
     def common(s):
         s.add_argument("--config", required=True, help="preset name or YAML path")
-        s.add_argument("--checkpoint", required=True, help="checkpoint dir")
+        s.add_argument("--checkpoint", required=True,
+                       help="checkpoint dir (orbax), or a reference torch "
+                            "checkpoint file (.pt/.pth/.npz) converted via "
+                            "interop")
         s.add_argument("--which", default="best", choices=["best", "latest"])
         s.add_argument("--batch-size", type=int, default=128)
 
@@ -357,6 +373,17 @@ def main(argv=None):
     cfg_path = args.config if os.path.exists(args.config) else preset_path(args.config)
     cfg = load_config(cfg_path)
 
+    # --checkpoint: orbax dir (ours) or a reference torch file (interop)
+    torch_file = args.checkpoint.endswith((".pt", ".pth", ".npz"))
+
+    def make_predictor(sample_skel, sample_sensor, **kw):
+        if torch_file:
+            return Predictor.from_torch_checkpoint(cfg, args.checkpoint, **kw)
+        return Predictor.from_checkpoint(
+            cfg, args.checkpoint, sample_skel, sample_sensor,
+            which=args.which, **kw,
+        )
+
     def load_input(path):
         if path.endswith(".npz"):
             blob = np.load(path)
@@ -383,10 +410,9 @@ def main(argv=None):
             sensor if sensor is not None
             else np.zeros((len(skeleton), 1, 1), np.float32)
         )
-        pred = Predictor.from_checkpoint(
-            cfg, args.checkpoint, skeleton, sample_sensor,
-            which=args.which, batch_size=args.batch_size,
-            num_copies=args.num_copies,
+        pred = make_predictor(
+            skeleton, sample_sensor,
+            batch_size=args.batch_size, num_copies=args.num_copies,
         )
         proba = pred.predict_proba(skeleton, sensor)
         classes = proba.argmax(-1)
@@ -412,9 +438,7 @@ def main(argv=None):
             np.float32,
         )
         sens = np.zeros((2, cfg.data.seq_len, sensor_dim), np.float32)
-        pred = Predictor.from_checkpoint(
-            cfg, args.checkpoint, skel, sens, which=args.which
-        )
+        pred = make_predictor(skel, sens)
         blob = export_stablehlo(
             cfg,
             pred.variables,
@@ -434,10 +458,7 @@ def main(argv=None):
     ).astype(np.float32)
     sensor_dim = args.sensor_dim or cfg.data.sensor_dim
     sens = rng.normal(size=(2, cfg.data.seq_len, sensor_dim)).astype(np.float32)
-    pred = Predictor.from_checkpoint(
-        cfg, args.checkpoint, skel, sens,
-        which=args.which, batch_size=args.batch_size,
-    )
+    pred = make_predictor(skel, sens, batch_size=args.batch_size)
     stream = StreamingClassifier(pred, seq_len=cfg.data.seq_len)
     stats = measure_push_latency(
         stream, n_pushes=args.pushes,

@@ -88,14 +88,30 @@ def run_fold(
             logger.info(f"resumed from {resume_from} at epoch {saved_epoch} "
                         f"(best acc {initial_best:.4f})")
     elif pretrained_path:
-        from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+        if pretrained_path.endswith((".pt", ".pth", ".npz")):
+            # reference torch checkpoint: convert via interop and fine-tune
+            # from the ported weights (the migration path for reference
+            # users — best_model.pt trains on here without retraining)
+            from fall_multimodal_tpu.interop import load_pretrained_torch
 
-        restored, _, _ = Checkpointer(pretrained_path).restore("best", state)
-        state = state._replace(
-            params=restored.params, batch_stats=restored.batch_stats
-        )
-        if logger:
-            logger.info(f"loaded pretrained weights from {pretrained_path}")
+            variables = load_pretrained_torch(config, pretrained_path)
+            state = state._replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", state.batch_stats),
+            )
+            if logger:
+                logger.info(
+                    f"converted torch weights from {pretrained_path} (interop)"
+                )
+        else:
+            from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+            restored, _, _ = Checkpointer(pretrained_path).restore("best", state)
+            state = state._replace(
+                params=restored.params, batch_stats=restored.batch_stats
+            )
+            if logger:
+                logger.info(f"loaded pretrained weights from {pretrained_path}")
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if config.train.dtype == "bfloat16" else None

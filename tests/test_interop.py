@@ -1,0 +1,350 @@
+"""Torch-checkpoint interop (``fall_multimodal_tpu/interop.py``).
+
+Full-model numerical parity of the converter runs in the fixture-backed
+parity tests (gstcan3 / musa / skeleton transformer / TARGCN all convert
+through :func:`torch_to_variables`). This file covers the rest of the
+contract: real ``torch.save`` checkpoint files (raw state_dict and
+wrapped ``checkpoint.pt`` layouts), the Gen-2 attribute spellings
+(``stgcan_1``/``st_gcan_networks``/``fc``), the sensor-only heads against
+live torch modules, and the loud-failure validation paths.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from fall_multimodal_tpu.configs import load_config, preset_path
+from fall_multimodal_tpu.interop import (
+    load_pretrained_torch,
+    load_torch_state_dict,
+    supported_models,
+    torch_to_variables,
+)
+from fall_multimodal_tpu.models import build_model
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _gstcan3():
+    g = np.load(os.path.join(FIXDIR, "reference_gstcan3.npz"))
+    sd = {k: np.asarray(g[k]) for k in g.files if k not in ("x", "sensor", "out")}
+    cfg = load_config(preset_path("gstcan_urfall_3stream"))
+    return cfg, sd
+
+
+# ------------------------------------------------------------ file loading
+
+
+def test_load_torch_state_dict_raw_and_wrapped(tmp_path):
+    cfg, sd = _gstcan3()
+    tensors = {k: torch.tensor(v) for k, v in sd.items()}
+
+    raw = tmp_path / "best_model.pt"
+    torch.save(tensors, str(raw))
+    loaded = load_torch_state_dict(str(raw))
+    assert set(loaded) == set(sd)
+
+    # full checkpoint layout (reference main.py:332-341)
+    ckpt = tmp_path / "checkpoint.pt"
+    torch.save({"epoch": 7, "best_acc": 0.5, "model": tensors}, str(ckpt))
+    loaded = load_torch_state_dict(str(ckpt))
+    assert set(loaded) == set(sd)
+
+    variables = torch_to_variables(cfg, loaded)
+    assert "params" in variables and "batch_stats" in variables
+
+
+def test_load_pretrained_torch_npz(tmp_path):
+    cfg, sd = _gstcan3()
+    path = tmp_path / "weights.npz"
+    np.savez(str(path), **sd)
+    variables = load_pretrained_torch(cfg, str(path))
+    model = build_model(cfg)
+    out = model.apply(
+        variables, jnp.ones((2, 30, 14, 3)), jnp.ones((2, 30, 4)), train=False
+    )
+    assert out.shape == (2, 2)
+
+
+# ------------------------------------------------------ Gen-2 spellings
+
+
+def test_gen2_two_stgcan_spelling():
+    """Gen-2 ``TwoStreamSTGCAN`` (``combination.py:9-25``) names its parts
+    ``stgcan_1``/``stgcan_2``/``fc`` and the block list
+    ``st_gcan_networks`` — rename the notebook fixture accordingly and the
+    converter must accept it."""
+    cfg, sd = _gstcan3()
+    renamed = {}
+    for k, v in sd.items():
+        if k.startswith("sensor.") or k == "fcn.weight" or k == "fcn.bias":
+            continue  # two-stream: no sensor branch
+        k = k.replace("pts_stream.", "stgcan_1.")
+        k = k.replace("mot_stream.", "stgcan_2.")
+        k = k.replace("st_gcn_networks", "st_gcan_networks")
+        renamed[k] = v
+    renamed["fc.weight"] = np.zeros((2, 512), np.float32)
+    renamed["fc.bias"] = np.zeros((2,), np.float32)
+
+    cfg2 = load_config(
+        preset_path("default_urfall"), overrides={"model.name": "two_stgcan"}
+    )
+    variables = torch_to_variables(cfg2, renamed)
+    out = build_model(cfg2).apply(
+        variables, jnp.ones((2, 30, 14, 3)), None, train=False
+    )
+    assert out.shape == (2, 2)
+    assert bool(jnp.isfinite(out).all())
+
+
+# ------------------------------------------------- sensor heads vs torch
+
+
+class _RefChannelAttention(nn.Module):
+    """Reference-shaped ``ChannelAttention`` (``Model/bilstm.py:5-19``)."""
+
+    def __init__(self, input_size, reduce_rate=1 / 8):
+        super().__init__()
+        self.attention = nn.Sequential(
+            nn.Linear(input_size, int(input_size * reduce_rate)),
+            nn.ReLU(),
+            nn.Linear(int(input_size * reduce_rate), input_size),
+            nn.Sigmoid(),
+        )
+
+    def forward(self, x):
+        return x * self.attention(x)
+
+
+class _RefBiLSTM(nn.Module):
+    """Reference-shaped ``BiLSTM`` (``Model/bilstm.py:21-59``), mean pool."""
+
+    def __init__(self, input_size, hidden_size, num_classes):
+        super().__init__()
+        self.lstm1 = nn.LSTM(
+            input_size, hidden_size, 1, batch_first=True, bidirectional=True
+        )
+        self.batchnorm = nn.BatchNorm1d(hidden_size * 2)
+        self.channelattention = _RefChannelAttention(hidden_size * 2)
+        self.fc = nn.Sequential(nn.Flatten(), nn.Linear(hidden_size * 2, num_classes))
+
+    def forward(self, sensor):
+        out, _ = self.lstm1(sensor)
+        out = torch.mean(out, axis=1)
+        out = self.batchnorm(out)
+        out = self.channelattention(out)
+        return self.fc(out)
+
+
+class _RefCNN1D(nn.Module):
+    """Reference-shaped ``CNN1D`` (``GSTCAN_UR_conv.ipynb:2``) including its
+    dead-code ``fc`` head (defined, never called)."""
+
+    def __init__(self, in_ch, t_len):
+        super().__init__()
+        self.layer1 = nn.Sequential(
+            nn.Conv1d(in_ch, 16, kernel_size=5, padding=2),
+            nn.BatchNorm1d(16), nn.ReLU(), nn.MaxPool1d(2),
+        )
+        self.layer2 = nn.Sequential(
+            nn.Conv1d(16, 32, kernel_size=5, padding=2),
+            nn.BatchNorm1d(32), nn.ReLU(), nn.MaxPool1d(2),
+        )
+        self.fc = nn.Linear(32 * (t_len // 4), 32)  # dead code in reference
+
+    def forward(self, x):
+        return self.layer2(self.layer1(x))
+
+
+class _RefCNNBiLSTM(nn.Module):
+    """Reference-shaped ``CNN_BiLSTM`` (``GSTCAN_UR_conv.ipynb:2``)."""
+
+    def __init__(self, in_ch, t_len, num_classes):
+        super().__init__()
+        self.cnn = _RefCNN1D(in_ch, t_len)
+        self.bilstm = _RefBiLSTM(32, 64, num_classes)
+
+    def forward(self, sensor):
+        x = self.cnn(sensor.permute(0, 2, 1))   # (N, S, T)
+        return self.bilstm(x.permute(0, 2, 1))  # (N, T/4, 32)
+
+
+def _randomize_bn(module, gen):
+    """Non-trivial BN affine + running stats so eval-mode parity actually
+    exercises the ported statistics."""
+    for m in module.modules():
+        if isinstance(m, nn.BatchNorm1d):
+            with torch.no_grad():
+                m.weight.copy_(1 + 0.3 * torch.rand(m.weight.shape, generator=gen))
+                m.bias.copy_(0.2 * torch.randn(m.bias.shape, generator=gen))
+                m.running_mean.copy_(0.1 * torch.randn(m.running_mean.shape, generator=gen))
+                m.running_var.copy_(1 + 0.5 * torch.rand(m.running_var.shape, generator=gen))
+
+
+def test_bilstm_head_converts_and_matches_torch(rng):
+    torch.manual_seed(0)
+    gen = torch.Generator().manual_seed(1)
+    ref = _RefBiLSTM(input_size=15, hidden_size=64, num_classes=11)
+    _randomize_bn(ref, gen)
+    ref.eval()
+    sensor = rng.normal(size=(4, 30, 15)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.tensor(sensor)).numpy()
+
+    cfg = load_config(
+        preset_path("default"),
+        overrides={"model.name": "bilstm", "data.num_classes": 11},
+    )
+    variables = torch_to_variables(cfg, ref.state_dict())
+    ours = np.asarray(
+        build_model(cfg).apply(variables, None, jnp.asarray(sensor), train=False)
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-5)
+
+
+def test_cnn_bilstm_head_converts_and_matches_torch(rng):
+    torch.manual_seed(2)
+    gen = torch.Generator().manual_seed(3)
+    ref = _RefCNNBiLSTM(in_ch=4, t_len=30, num_classes=2)
+    _randomize_bn(ref, gen)
+    ref.eval()
+    sensor = rng.normal(size=(4, 30, 4)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.tensor(sensor)).numpy()
+
+    cfg = load_config(
+        preset_path("default_urfall"),
+        overrides={"model.name": "cnn_bilstm", "data.num_classes": 2},
+    )
+    # state_dict includes the dead cnn.fc head — must be tolerated
+    variables = torch_to_variables(cfg, ref.state_dict())
+    ours = np.asarray(
+        build_model(cfg).apply(variables, None, jnp.asarray(sensor), train=False)
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-5)
+
+
+# --------------------------------------------------------- integrations
+
+
+def test_predictor_from_torch_checkpoint(tmp_path):
+    """Serving a reference-trained checkpoint end-to-end: .pt file ->
+    interop -> compiled Predictor -> reference's own output."""
+    from fall_multimodal_tpu.serve import Predictor
+
+    g = np.load(os.path.join(FIXDIR, "reference_gstcan3.npz"))
+    sd = {k: torch.tensor(np.asarray(g[k]))
+          for k in g.files if k not in ("x", "sensor", "out")}
+    path = tmp_path / "best_model.pt"
+    torch.save(sd, str(path))
+
+    cfg = load_config(preset_path("gstcan_urfall_3stream"))
+    pred = Predictor.from_torch_checkpoint(cfg, str(path), batch_size=4)
+    skel = np.transpose(np.asarray(g["x"]), (0, 2, 3, 1))
+    proba = pred.predict_proba(skel, np.asarray(g["sensor"]))
+    np.testing.assert_allclose(proba, np.asarray(g["out"]), atol=2e-5)
+
+
+def test_serve_cli_predict_from_torch_file(tmp_path):
+    """``serve predict --checkpoint best_model.pt``: the CLI dispatches on
+    the file suffix and serves converted reference weights."""
+    import csv
+
+    from fall_multimodal_tpu.serve import main as serve_main
+
+    g = np.load(os.path.join(FIXDIR, "reference_gstcan3.npz"))
+    sd = {k: torch.tensor(np.asarray(g[k]))
+          for k in g.files if k not in ("x", "sensor", "out")}
+    ckpt = tmp_path / "best_model.pt"
+    torch.save(sd, str(ckpt))
+    skel = np.transpose(np.asarray(g["x"]), (0, 2, 3, 1)).astype(np.float32)
+    npz = tmp_path / "windows.npz"
+    np.savez(str(npz), skeleton=skel, sensor=np.asarray(g["sensor"]))
+
+    out = tmp_path / "pred.csv"
+    res = serve_main([
+        "predict", "--config", "gstcan_urfall_3stream",
+        "--checkpoint", str(ckpt), "--input", str(npz),
+        "--output", str(out), "--batch-size", "4",
+    ])
+    assert res["n"] == len(skel)
+    with open(out) as fh:
+        rows = list(csv.DictReader(fh))
+    expected = np.asarray(g["out"]).argmax(-1)
+    assert [int(r["prediction"]) for r in rows] == expected.tolist()
+
+
+def test_run_fold_finetunes_from_torch_checkpoint(tmp_path):
+    """``--pretrained best_model.pt``: training starts from converted
+    reference weights (the reference-user migration path)."""
+    from fall_multimodal_tpu.data import make_synthetic, split_dataset, to_device
+    from fall_multimodal_tpu.train.cv import run_fold
+
+    torch.manual_seed(4)
+    ref = _RefBiLSTM(input_size=6, hidden_size=64, num_classes=3)
+    path = tmp_path / "best_model.pt"
+    torch.save(ref.state_dict(), str(path))
+
+    cfg = load_config(
+        preset_path("bilstm"),
+        overrides={"data.num_classes": 3, "data.sensor_dim": 6},
+    )
+    data = make_synthetic(
+        n_windows=96, num_classes=3, sensor_dim=6, windows_per_video=8,
+        noise=0.05, seed=0,
+    )
+    splits = {k: to_device(v) for k, v in split_dataset(data, seed=0).items()}
+    result = run_fold(cfg, splits, epochs=1, pretrained_path=str(path))
+    assert np.isfinite(result.history["train_loss"][0])
+    # the loaded LSTM weights are the torch ones, not a fresh init: the
+    # first-epoch loss is computed FROM them, so just assert it trained
+    assert 0.0 <= result.test.accuracy <= 1.0
+
+
+# ------------------------------------------------------- loud validation
+
+
+def test_unknown_model_raises():
+    cfg = load_config(
+        preset_path("default"),
+        overrides={"model.name": "skeleton_transformer_factorized"},
+    )
+    assert "skeleton_transformer_factorized" not in supported_models()
+    with pytest.raises((ValueError, NotImplementedError)):
+        torch_to_variables(cfg, {})
+
+
+def test_missing_torch_key_raises_with_name():
+    cfg, sd = _gstcan3()
+    del sd["fcn.weight"], sd["fcn.bias"]
+    with pytest.raises(KeyError, match="fc"):
+        torch_to_variables(cfg, sd)
+
+
+def test_unused_torch_key_raises_and_strict_false_ignores():
+    cfg, sd = _gstcan3()
+    sd["some.leftover.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="some.leftover.weight"):
+        torch_to_variables(cfg, sd)
+    variables = torch_to_variables(cfg, sd, strict=False)
+    assert "params" in variables
+
+
+def test_shape_mismatch_raises_with_path():
+    cfg, sd = _gstcan3()
+    sd["fcn.weight"] = np.zeros((5, 514), np.float32)  # wrong num_classes
+    with pytest.raises(ValueError, match="Dense_0"):
+        torch_to_variables(cfg, sd)
+
+
+def test_sensor_encoder_mismatch_raises():
+    _, sd = _gstcan3()  # checkpoint carries a CNN_BiLSTM sensor branch
+    cfg2 = load_config(
+        preset_path("default_urfall"), overrides={"model.name": "two_stgcan_bilstm"}
+    )
+    with pytest.raises(ValueError, match="sensor-encoder mismatch"):
+        torch_to_variables(cfg2, sd)

@@ -181,59 +181,30 @@ def test_targcn_fast_path_matches_module_path():
 def test_targcn_full_model_matches_reference():
     """Complete TARGCN (2-layer graph-GRU encoder -> TA transformer ->
     last-6 conv predictor -> pooled head) with the reference state_dict
-    ported; fixture from TRAGCN.py run with adj=None (the only path the
-    reference ever exercised)."""
+    converted through the public torch-interop API; fixture from TRAGCN.py
+    run with adj=None (the only path the reference ever exercised)."""
+    from fall_multimodal_tpu.configs import load_config, preset_path
+    from fall_multimodal_tpu.interop import torch_to_variables
+    from fall_multimodal_tpu.models import build_model
+
     g = np.load(os.path.join(os.path.dirname(FIX), "reference_targcn_full.npz"))
     x = jnp.asarray(g["x"])                 # (B, T, N, C) — same layout as ours
     expected = np.asarray(g["out"])
+    sd = {k: g[k] for k in g.files if k not in ("x", "out")}
 
-    model = TARGCN(num_classes=11, num_nodes=14, rnn_units=8, output_dim=8,
-                   horizon=30, num_layers=2, embed_dim=4)
-    variables = model.init(jax.random.key(0), x, None, train=False)
-
-    p = {("node_embeddings",): np.asarray(g["node_embeddings"])}
-    for layer in range(2):
-        for gate in ("gate", "update"):
-            base = ("encoder", f"layer{layer}", "cell", gate)
-            ref = f"encoder.dcrnn_cells.{layer}.{gate}"
-            p[base + ("weights_pool",)] = np.asarray(g[f"{ref}.weights_pool"])
-            p[base + ("bias_pool",)] = np.asarray(g[f"{ref}.bias_pool"])
-            p[base + ("static_linear", "kernel")] = np.asarray(
-                g[f"{ref}.linear.weight"]).T
-            p[base + ("static_linear", "bias")] = np.asarray(g[f"{ref}.linear.bias"])
-    for i in range(2):
-        base = ("encoder", "temporal_transformer", f"layer{i}")
-        ref = f"encoder.trans_layer_T.trans_layers.{i}"
-        p[base + ("vff", "kernel")] = np.asarray(g[f"{ref}.vff.weight"]).T
-        p[base + ("vff", "bias")] = np.asarray(g[f"{ref}.vff.bias"])
-        for ours, theirs in (("conv_q", "conv1"), ("conv_k", "conv2")):
-            p[base + (ours, "kernel")] = np.transpose(
-                np.asarray(g[f"{ref}.{theirs}.weight"]), (2, 3, 1, 0))
-            p[base + (ours, "bias")] = np.asarray(g[f"{ref}.{theirs}.bias"])
-        for ours, theirs in (("ln", "ln"), ("lnff", "lnff")):
-            p[base + (ours, "scale")] = np.asarray(g[f"{ref}.{theirs}.weight"])
-            p[base + (ours, "bias")] = np.asarray(g[f"{ref}.{theirs}.bias"])
-        p[base + ("ff1", "kernel")] = np.asarray(g[f"{ref}.ff.0.weight"]).T
-        p[base + ("ff1", "bias")] = np.asarray(g[f"{ref}.ff.0.bias"])
-        p[base + ("ff2", "kernel")] = np.asarray(g[f"{ref}.ff.2.weight"]).T
-        p[base + ("ff2", "bias")] = np.asarray(g[f"{ref}.ff.2.bias"])
-    # end_conv: Conv2d(6, horizon*C, (1, hidden)) -> Dense over (6, hidden)
-    w = np.asarray(g["end_conv.weight"])    # (O, 6, 1, H)
-    o, s6, _, h = w.shape
-    p[("end_conv", "kernel")] = np.transpose(w[:, :, 0, :], (1, 2, 0)).reshape(s6 * h, o)
-    p[("end_conv", "bias")] = np.asarray(g["end_conv.bias"])
-    p[("head", "kernel")] = np.asarray(g["fc.2.weight"]).T
-    p[("head", "bias")] = np.asarray(g["fc.2.bias"])
-
-    flat = flatten_dict(variables["params"])
-    assert set(flat) == set(p), (
-        sorted(set(flat) - set(p))[:6], sorted(set(p) - set(flat))[:6])
-    for k in p:
-        assert flat[k].shape == p[k].shape, (k, flat[k].shape, p[k].shape)
+    cfg = load_config(
+        preset_path("default"),
+        overrides={
+            "model.name": "targcn",
+            "data.num_classes": 11,
+            "model.kwargs": {
+                "rnn_units": 8, "output_dim": 8, "horizon": 30,
+                "num_layers": 2, "embed_dim": 4,
+            },
+        },
+    )
+    variables = torch_to_variables(cfg, sd)     # validates keys + shapes
     ours = np.asarray(
-        model.apply(
-            {"params": unflatten_dict({k: jnp.asarray(v) for k, v in p.items()})},
-            x, None, train=False,
-        )
+        build_model(cfg).apply(variables, x, None, train=False)
     )
     np.testing.assert_allclose(ours, expected, atol=5e-5)
