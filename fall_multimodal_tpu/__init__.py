@@ -40,4 +40,11 @@ def __getattr__(name):
     if name in ("Predictor", "StreamingClassifier"):
         from fall_multimodal_tpu import serve
         return getattr(serve, name)
+    if name in ("PredictionServer", "make_server"):
+        from fall_multimodal_tpu import server
+        return getattr(server, name)
+    if name in ("load_pretrained_torch", "torch_to_variables",
+                "load_torch_state_dict"):
+        from fall_multimodal_tpu import interop
+        return getattr(interop, name)
     raise AttributeError(f"module 'fall_multimodal_tpu' has no attribute {name!r}")

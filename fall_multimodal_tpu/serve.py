@@ -369,6 +369,15 @@ def main(argv=None):
     s.add_argument("--output", default="model.stablehlo")
     s.add_argument("--sensor-dim", type=int, default=None)
 
+    s = sub.add_parser(
+        "serve", help="HTTP JSON prediction endpoint (GET /healthz, "
+                      "POST /v1/predict)"
+    )
+    common(s)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--num-copies", type=int, default=1)
+
     args = p.parse_args(argv)
     cfg_path = args.config if os.path.exists(args.config) else preset_path(args.config)
     cfg = load_config(cfg_path)
@@ -430,6 +439,24 @@ def main(argv=None):
         print(f"wrote {args.output}: {len(classes)} predictions, "
               f"{proba.shape[1]} classes")
         return {"n": len(classes), "output": args.output}
+
+    if args.cmd == "serve":
+        from fall_multimodal_tpu.server import make_server
+
+        d = cfg.data
+        skel = np.zeros((2, d.seq_len, d.num_joints, d.in_channels), np.float32)
+        sens = np.zeros((2, d.seq_len, d.sensor_dim), np.float32)
+        pred = make_predictor(
+            skel, sens, batch_size=args.batch_size, num_copies=args.num_copies,
+        )
+        # warm the compile before accepting traffic: first request should
+        # pay request latency, not the 20-40 s XLA compile
+        pred.predict_logits(skel[:1], sens[:1] if pred.requires_sensor else None)
+        srv = make_server(pred, host=args.host, port=args.port, quiet=False)
+        print(f"serving {cfg.model.name} on http://{srv.host}:{srv.port} "
+              f"(POST /v1/predict, GET /healthz)", flush=True)
+        srv.serve()
+        return {"host": srv.host, "port": srv.port}
 
     if args.cmd == "export":
         sensor_dim = args.sensor_dim or cfg.data.sensor_dim

@@ -1,0 +1,163 @@
+"""HTTP prediction endpoint (``fall_multimodal_tpu/server.py``).
+
+A live ``PredictionServer`` on an ephemeral localhost port, driven with
+stdlib urllib: health, single-window and batch predict, probabilities,
+concurrent requests, and every 4xx validation path.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fall_multimodal_tpu.configs import load_config, preset_path
+from fall_multimodal_tpu.data import make_synthetic, split_dataset, to_device
+from fall_multimodal_tpu.serve import Predictor
+from fall_multimodal_tpu.server import make_server
+from fall_multimodal_tpu.train.cv import run_fold
+from fall_multimodal_tpu.utils.checkpoint import Checkpointer
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    data = make_synthetic(n_windows=96, num_classes=3, sensor_dim=6,
+                          noise=0.05, windows_per_video=8, seed=0)
+    splits = {k: to_device(v) for k, v in split_dataset(data, seed=1).items()}
+    ckpt_dir = str(tmp_path_factory.mktemp("server") / "ckpt")
+    run_fold(cfg, splits, epochs=2, checkpointer=Checkpointer(ckpt_dir))
+    pred = Predictor.from_checkpoint(
+        cfg, ckpt_dir, data.features[:2], data.sensors[:2], batch_size=8,
+    )
+    srv = make_server(pred, port=0).start()   # ephemeral port
+    yield srv, pred, data
+    srv.close()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://{srv.host}:{srv.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(served):
+    srv, pred, _ = served
+    status, body = _get(srv, "/healthz")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["model"] == "bilstm"
+    assert body["num_classes"] == 3
+    assert body["requires_sensor"] is True
+
+
+def test_predict_batch_matches_library(served):
+    srv, pred, data = served
+    n = 12
+    status, body = _post(srv, "/v1/predict", {
+        "skeleton": data.features[:n].tolist(),
+        "sensor": data.sensors[:n].tolist(),
+        "proba": True,
+    })
+    assert status == 200 and body["n"] == n
+    expect = pred.predict_proba(data.features[:n], data.sensors[:n])
+    assert body["predictions"] == expect.argmax(-1).tolist()
+    np.testing.assert_allclose(
+        np.asarray(body["probabilities"]), expect, atol=1e-5
+    )
+
+
+def test_predict_single_window_convenience(served):
+    srv, pred, data = served
+    status, body = _post(srv, "/v1/predict", {
+        "skeleton": data.features[0].tolist(),      # (T, V, C), no batch dim
+        "sensor": data.sensors[0].tolist(),         # (T, S)
+    })
+    assert status == 200 and body["n"] == 1
+    expect = pred.predict(data.features[:1], data.sensors[:1])
+    assert body["predictions"] == expect.tolist()
+
+
+def test_predict_concurrent_requests(served):
+    srv, pred, data = served
+    results = {}
+
+    def hit(i):
+        results[i] = _post(srv, "/v1/predict", {
+            "skeleton": data.features[i:i + 2].tolist(),
+            "sensor": data.sensors[i:i + 2].tolist(),
+        })
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (status, body) in results.items():
+        assert status == 200
+        expect = pred.predict(data.features[i:i + 2], data.sensors[i:i + 2])
+        assert body["predictions"] == expect.tolist()
+
+
+def test_validation_errors(served):
+    srv, _, data = served
+    # bad JSON
+    req = urllib.request.Request(
+        f"http://{srv.host}:{srv.port}/v1/predict", data=b"{not json",
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+    # missing skeleton
+    status, body = _post(srv, "/v1/predict", {"sensor": [[0.0]]})
+    assert status == 400 and "skeleton" in body["error"]
+
+    # wrong window shape
+    status, body = _post(srv, "/v1/predict", {
+        "skeleton": np.zeros((2, 10, 14, 3)).tolist(),
+        "sensor": data.sensors[:2].tolist(),
+    })
+    assert status == 400 and "(30, 14, 3)" in body["error"]
+
+    # ragged arrays
+    status, body = _post(srv, "/v1/predict", {
+        "skeleton": [[0.0, 1.0], [0.0]],
+    })
+    assert status == 400 and "ragged" in body["error"]
+
+    # sensor omitted for a sensor-consuming model -> predictor refuses
+    status, body = _post(srv, "/v1/predict", {
+        "skeleton": data.features[:2].tolist(),
+    })
+    assert status == 400 and "sensor" in body["error"]
+
+    # unknown routes
+    status, body = _get_error(srv, "/nope")
+    assert status == 404
+    status, body = _post(srv, "/v2/predict", {"skeleton": []})
+    assert status == 404
+
+
+def _get_error(srv, path):
+    try:
+        with urllib.request.urlopen(f"http://{srv.host}:{srv.port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
