@@ -103,9 +103,12 @@ def measure(
         model, optimizer, dev.features[:2], dev.sensors[:2], seed=0
     )
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
+    from fall_multimodal_tpu.data.augment import make_augment_fn
+
     epoch = make_train_epoch(
         model, optimizer, softmax_before_ce=cfg.model.softmax_output,
         compute_dtype=compute_dtype,
+        augment_fn=make_augment_fn(cfg.augment, cfg.graph.layout),
     )
 
     warm_idx = epoch_batch_indices(jax.random.key(0), dev.n, batch_size)
@@ -206,6 +209,11 @@ def main():
                         default=None,
                         help="compute dtype (default: the family's measured "
                              "winner; params stay f32 either way)")
+    parser.add_argument("--augment", action="store_true",
+                        help="measure with the canonical augmentation recipe "
+                             "on (rotate 15deg, scale 0.1, flip 0.5, jitter "
+                             "0.01, sensor noise 0.02) — quantifies the "
+                             "on-device augmentation overhead")
     parser.add_argument("--cost-split", action="store_true",
                         help="with --family musa: the DropGraph on/off/bf16 "
                              "cost decomposition; with --family gstcan3: "
@@ -227,13 +235,22 @@ def main():
         print(json.dumps({"metric": f"{args.family}_cost_split", **rows}))
         return
 
+    overrides = None
+    if args.augment:
+        overrides = {
+            "augment.enabled": True, "augment.rotate_deg": 15,
+            "augment.scale": 0.1, "augment.flip_prob": 0.5,
+            "augment.joint_jitter": 0.01, "augment.sensor_noise": 0.02,
+        }
     r = measure(preset, batch, sensor_dim, num_classes, dtype,
-                windows=args.windows, epochs=args.epochs)
+                windows=args.windows, epochs=args.epochs, overrides=overrides)
     metric = (
         "ur_fall_3stream_train_throughput"
         if args.family == "gstcan3"
         else f"{args.family}_train_throughput"
     )
+    if args.augment:
+        metric += "_augmented"
     print(
         json.dumps(
             {

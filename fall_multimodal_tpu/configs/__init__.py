@@ -1,4 +1,5 @@
 from fall_multimodal_tpu.configs.config import (
+    AugmentConfig,
     Config,
     DataConfig,
     GraphConfig,
@@ -11,6 +12,7 @@ from fall_multimodal_tpu.configs.config import (
 )
 
 __all__ = [
+    "AugmentConfig",
     "Config",
     "DataConfig",
     "GraphConfig",

@@ -102,6 +102,25 @@ class SchedulerConfig:
 
 
 @dataclass(frozen=True)
+class AugmentConfig:
+    """On-device training-time augmentation (new capability; the reference
+    trains on raw windows only). All transforms are drawn per window per
+    step inside the jitted train step — zero host work, fused by XLA into
+    the batch gather. Defaults are all-off; ``enabled`` additionally gates
+    the whole block so a preset can carry tuned magnitudes while runs
+    toggle one switch."""
+
+    enabled: bool = False
+    rotate_deg: float = 0.0      # uniform [-d, +d] degrees about the window centroid (x, y)
+    scale: float = 0.0           # uniform gain [1-s, 1+s] about the centroid
+    translate: float = 0.0       # uniform (x, y) shift in normalized units
+    joint_jitter: float = 0.0    # gaussian sigma added per joint per frame (x, y)
+    flip_prob: float = 0.0       # horizontal mirror + left/right joint swap
+    sensor_noise: float = 0.0    # gaussian sigma on sensor channels
+    sensor_scale: float = 0.0    # uniform per-window gain [1-s, 1+s]
+
+
+@dataclass(frozen=True)
 class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -109,6 +128,7 @@ class Config:
     graph: GraphConfig = field(default_factory=GraphConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     lr_scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
     seed: int = 42
     log_dir: Optional[str] = None
     save_checkpoint: bool = True
@@ -188,6 +208,7 @@ _SECTION_TYPES = {
     "graph": GraphConfig,
     "optim": OptimConfig,
     "lr_scheduler": SchedulerConfig,
+    "augment": AugmentConfig,
 }
 
 

@@ -114,8 +114,11 @@ def run_fold(
                 logger.info(f"loaded pretrained weights from {pretrained_path}")
     import jax.numpy as jnp
 
+    from fall_multimodal_tpu.data.augment import make_augment_fn
+
     compute_dtype = jnp.bfloat16 if config.train.dtype == "bfloat16" else None
     lr_fn = build_schedule(config.lr_scheduler, config.optim.lr, steps_per_epoch)
+    augment_fn = make_augment_fn(config.augment, config.graph.layout)
     return fit(
         model,
         optimizer,
@@ -141,6 +144,7 @@ def run_fold(
         epoch_impl=config.train.epoch_impl,
         log_every=config.logging_interval,
         mesh=mesh,
+        augment_fn=augment_fn,
     )
 
 

@@ -125,12 +125,17 @@ def cross_validate_vmapped(
     compute_dtype = (
         jnp.bfloat16 if config.train.dtype == "bfloat16" else None
     )
+    from fall_multimodal_tpu.data.augment import make_augment_fn
+
     train_step = make_train_step(
         model, optimizer,
         label_smoothing=config.train.label_smoothing,
         softmax_before_ce=config.model.softmax_output,
         compute_dtype=compute_dtype,
         grad_norms=grad_norms,
+        # per-fold keys come free: the step key folds off state.rng, which
+        # is seeded per fold, so vmapped folds draw independent transforms
+        augment_fn=make_augment_fn(config.augment, config.graph.layout),
     )
 
     def fold_epoch(state: TrainState, data_: DeviceData, idx: jnp.ndarray):

@@ -55,6 +55,7 @@ def make_train_step(
     compute_dtype: Optional[jnp.dtype] = None,
     grad_norms: bool = False,
     batch_sharding=None,
+    augment_fn=None,
 ) -> Callable[[TrainState, DeviceData], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """One optimizer step: forward (train-mode BN + dropout), loss, grads,
     update. Returns (new_state, {loss, accuracy}).
@@ -80,6 +81,14 @@ def make_train_step(
     def step(state: TrainState, batch: DeviceData):
         batch = _constrain_batch(batch, batch_sharding)
         step_key = jax.random.fold_in(state.rng, state.step)
+        if augment_fn is not None:
+            # augmentation draws fold off the step key (distinct from the
+            # dropout stream, which stays step_key so augment-off runs are
+            # bit-identical to pre-augmentation builds)
+            feats, sens = augment_fn(
+                jax.random.fold_in(step_key, 1), batch.features, batch.sensors
+            )
+            batch = batch._replace(features=feats, sensors=sens)
 
         def loss_fn(params):
             if compute_dtype is not None:
@@ -142,7 +151,7 @@ def make_train_step(
 
 def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=False,
                      compute_dtype=None, grad_norms=False, impl: str = "scan",
-                     batch_sharding=None):
+                     batch_sharding=None, augment_fn=None):
     """Whole-epoch function: (state, data, batch_idx) -> (state, metrics).
 
     With ``grad_norms=True`` the returned metrics carry a ``"grad_norms"``
@@ -164,6 +173,7 @@ def make_train_epoch(model, optimizer, label_smoothing=0.0, softmax_before_ce=Fa
     train_step = make_train_step(
         model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
         grad_norms=grad_norms, batch_sharding=batch_sharding,
+        augment_fn=augment_fn,
     )
     if impl == "auto":
         impl = "host" if jax.default_backend() == "cpu" else "scan"
@@ -322,6 +332,7 @@ def fit(
     lr_fn=None,
     epoch_impl: str = "scan",
     mesh=None,
+    augment_fn=None,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -349,6 +360,7 @@ def fit(
     train_epoch = make_train_epoch(
         model, optimizer, label_smoothing, softmax_before_ce, compute_dtype,
         grad_norms=grad_norms, impl=epoch_impl, batch_sharding=batch_sharding,
+        augment_fn=augment_fn,
     )
     eval_epoch = make_eval_epoch(model, num_classes, label_smoothing, softmax_before_ce,
                                  batch_sharding=batch_sharding)
