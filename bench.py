@@ -226,6 +226,13 @@ def main():
     dtype = args.dtype or d_dtype
 
     if args.cost_split:
+        if args.augment:
+            # the decomposition arms build their own epochs and would run
+            # unaugmented; refuse rather than print mislabeled numbers
+            raise SystemExit(
+                "--augment does not apply to --cost-split (the decomposition "
+                "measures the raw-window step); drop one of the flags"
+            )
         if args.family not in _COST_SPLITS:
             raise SystemExit(
                 f"--cost-split is defined for --family "

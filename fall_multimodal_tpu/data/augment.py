@@ -52,11 +52,21 @@ def make_augment_fn(
     ``features``: (N, T, V, C>=2) with (x, y[, score]) channels;
     ``sensors``: (N, T, S).
     """
-    active = cfg.enabled and any(
-        v > 0 for v in (cfg.rotate_deg, cfg.scale, cfg.translate,
-                        cfg.joint_jitter, cfg.flip_prob,
-                        cfg.sensor_noise, cfg.sensor_scale)
-    )
+    magnitudes = {
+        "rotate_deg": cfg.rotate_deg, "scale": cfg.scale,
+        "translate": cfg.translate, "joint_jitter": cfg.joint_jitter,
+        "flip_prob": cfg.flip_prob, "sensor_noise": cfg.sensor_noise,
+        "sensor_scale": cfg.sensor_scale,
+    }
+    negative = sorted(k for k, v in magnitudes.items() if v < 0)
+    if negative:
+        # a sign mistake must not silently disable the transform: every
+        # magnitude is a half-range (draws are already symmetric/±)
+        raise ValueError(
+            f"augment magnitudes must be >= 0 (draws are symmetric ranges); "
+            f"got negative {negative}"
+        )
+    active = cfg.enabled and any(v > 0 for v in magnitudes.values())
     if not active:
         return None
     if cfg.flip_prob > 0 and layout not in FLIP_PERMUTATIONS:

@@ -120,6 +120,15 @@ class _Handler(BaseHTTPRequestHandler):
                 400, f"skeleton windows must be "
                      f"({d.seq_len}, {d.num_joints}, {d.in_channels}), got "
                      f"{tuple(skeleton.shape[1:])}")
+        if sensor is not None:
+            # validate here: a wrong sensor shape reaching the jitted
+            # forward raises TypeError/flax errors, not ValueError, which
+            # would otherwise escape the handler as a connection reset
+            if sensor.ndim != 3 or sensor.shape[1:] != (d.seq_len, d.sensor_dim):
+                return self._error(
+                    400, f"sensor windows must be "
+                         f"({d.seq_len}, {d.sensor_dim}), got "
+                         f"{tuple(sensor.shape[1:]) if sensor.ndim == 3 else tuple(sensor.shape)}")
 
         try:
             # one forward at a time: a single accelerator behind the server
@@ -127,6 +136,8 @@ class _Handler(BaseHTTPRequestHandler):
                 proba = self.predictor.predict_proba(skeleton, sensor)
         except ValueError as e:          # predictor-level validation
             return self._error(400, str(e))
+        except Exception as e:           # anything else is ours, not theirs
+            return self._error(500, f"{type(e).__name__}: {e}")
         out = {
             "predictions": [int(c) for c in proba.argmax(-1)],
             "n": int(len(proba)),

@@ -96,6 +96,15 @@ def test_flip_unknown_layout_raises():
             AugmentConfig(enabled=True, flip_prob=0.5), layout="ntu-rgb+d")
 
 
+def test_negative_magnitude_raises_instead_of_silently_disabling():
+    with pytest.raises(ValueError, match="rotate_deg"):
+        make_augment_fn(AugmentConfig(enabled=True, rotate_deg=-15))
+    # even alongside a positive one — no transform may silently drop
+    with pytest.raises(ValueError, match="sensor_noise"):
+        make_augment_fn(
+            AugmentConfig(enabled=True, scale=0.1, sensor_noise=-0.02))
+
+
 def test_sensor_noise_and_gain(rng):
     feats, sens = _batch(rng)
     fn = make_augment_fn(AugmentConfig(enabled=True, sensor_noise=0.05))

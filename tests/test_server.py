@@ -23,7 +23,8 @@ from fall_multimodal_tpu.utils.checkpoint import Checkpointer
 
 @pytest.fixture(scope="module")
 def served(tmp_path_factory):
-    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    cfg = load_config(preset_path("bilstm"),
+                      overrides={"data.num_classes": 3, "data.sensor_dim": 6})
     data = make_synthetic(n_windows=96, num_classes=3, sensor_dim=6,
                           noise=0.05, windows_per_video=8, seed=0)
     splits = {k: to_device(v) for k, v in split_dataset(data, seed=1).items()}
@@ -147,6 +148,14 @@ def test_validation_errors(served):
         "skeleton": data.features[:2].tolist(),
     })
     assert status == 400 and "sensor" in body["error"]
+
+    # wrong sensor trailing shape must be a 400 naming the expected dims,
+    # not an exception escaping the handler as a connection reset
+    status, body = _post(srv, "/v1/predict", {
+        "skeleton": data.features[:2].tolist(),
+        "sensor": np.zeros((2, 30, 5)).tolist(),    # model wants (30, 6)
+    })
+    assert status == 400 and "(30, 6)" in body["error"]
 
     # unknown routes
     status, body = _get_error(srv, "/nope")
