@@ -36,8 +36,16 @@ __all__ = ["FLIP_PERMUTATIONS", "make_augment_fn"]
 # Left/right joint swap per skeleton layout. coco_cut joint order is the
 # prep pipeline's POSE_JOINT_NAMES (Nose, L/R Shoulder, L/R Elbow, L/R
 # Wrist, L/R Hip, L/R Knee, L/R Ankle) + the synthetic center joint 13.
+# coco_mmpose is the standard 17-keypoint COCO order (nose, L/R eye, L/R
+# ear, L/R shoulder/elbow/wrist/hip/knee/ankle; reference
+# Model/graph.py:41-55) + the neck/center joint 17. Both permutations are
+# validated against the graph topology in test_augment.py (mirroring the
+# joints must leave the skeleton's edge set invariant).
 FLIP_PERMUTATIONS = {
     "coco_cut": np.array([0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 13]),
+    "coco_mmpose": np.array(
+        [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15, 17]
+    ),
 }
 
 

@@ -127,6 +127,12 @@ class GraphConv(nn.Module):
     def __call__(self, x, A):
         k = A.shape[0]
         n, t, v, c_in = x.shape
+        if v != A.shape[1]:
+            raise ValueError(
+                f"GraphConv: input has V={v} joints but the graph adjacency "
+                f"is (K={k}, V={A.shape[1]}) — the dataset's joint count must "
+                "match graph.layout (set data.num_joints to the layout's "
+                "node count, e.g. 14 for coco_cut, 18 for coco_mmpose)")
         if not self.dense_mode:
             y = nn.Dense(self.features * k, use_bias=self.use_bias)(x)
             y = y.reshape(n, t, v, k, self.features)

@@ -96,6 +96,36 @@ def test_flip_unknown_layout_raises():
             AugmentConfig(enabled=True, flip_prob=0.5), layout="ntu-rgb+d")
 
 
+@pytest.mark.parametrize("layout", sorted(FLIP_PERMUTATIONS))
+def test_flip_permutations_preserve_skeleton_topology(layout):
+    # A valid left/right swap must be an involution AND map the layout's
+    # bone set onto itself (the skeleton is mirror-symmetric).
+    from fall_multimodal_tpu.graphs.topology import LAYOUTS
+
+    perm = FLIP_PERMUTATIONS[layout]
+    lay = LAYOUTS[layout]
+    assert perm.shape == (lay.num_node,)
+    assert (np.sort(perm) == np.arange(lay.num_node)).all()
+    assert (perm[perm] == np.arange(lay.num_node)).all()
+    bones = {frozenset(e) for e in lay.neighbor_links}
+    mirrored = {frozenset((perm[i], perm[j])) for i, j in lay.neighbor_links}
+    assert mirrored == bones
+    # the center joint is on the mirror axis
+    assert perm[lay.center] == lay.center
+
+
+def test_flip_coco_mmpose_batch(rng):
+    feats, sens = _batch(rng, v=18)
+    fn = make_augment_fn(
+        AugmentConfig(enabled=True, flip_prob=1.0), layout="coco_mmpose")
+    out, _ = fn(jax.random.key(11), feats, sens)
+    perm = FLIP_PERMUTATIONS["coco_mmpose"]
+    np.testing.assert_allclose(
+        np.asarray(out[..., 0]), -np.asarray(feats[:, :, perm, 0]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out[..., 1]), np.asarray(feats[:, :, perm, 1]), atol=1e-6)
+
+
 def test_negative_magnitude_raises_instead_of_silently_disabling():
     with pytest.raises(ValueError, match="rotate_deg"):
         make_augment_fn(AugmentConfig(enabled=True, rotate_deg=-15))

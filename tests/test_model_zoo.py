@@ -59,3 +59,23 @@ def test_model_zoo_forward(name):
         mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)},
     )
     assert bool(jnp.isfinite(out2).all())
+
+
+def test_coco_mmpose_preset_matches_its_layout():
+    # two_stgcan_bilstm_urfall mirrors the reference coco_mmpose config
+    # (V=18); its data.num_joints must match the layout node count, and a
+    # model fed the wrong joint count must say so instead of failing deep
+    # inside a reshape (regression: the preset shipped with the default 14).
+    cfg = load_config(preset_path("two_stgcan_bilstm_urfall"),
+                      overrides={"train.epochs": 1})
+    assert cfg.data.num_joints == 18
+    model = build_model(cfg)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    skel = jnp.ones((2, 30, 18, 3))
+    sensor = jnp.ones((2, 30, 4))
+    variables = model.init(rngs, skel, sensor, train=False)
+    out = model.apply(variables, skel, sensor, train=False)
+    assert out.shape == (2, 2)
+
+    with pytest.raises(ValueError, match="data.num_joints"):
+        model.init(rngs, jnp.ones((2, 30, 14, 3)), sensor, train=False)
