@@ -1,0 +1,153 @@
+"""Concurrent HTTP serving throughput: request coalescing vs serial dispatch.
+
+The server's ``RequestBatcher`` (fall_multimodal_tpu/server.py) drains every
+waiting request into one padded device forward whenever the device is free.
+This experiment measures what that buys under concurrent load on the real
+chip, against a serial arm (one request per device call — the round-3
+pre-batching behavior, reproduced here by pinning the batch-take to one
+request; the padded compute per call is identical in both arms, only the
+NUMBER of device calls differs).
+
+    python experiments/serve_concurrency.py [--family gstcan3] \
+        [--clients 1 8 32] [--requests 64] [--batch-size 32]
+
+Each client thread POSTs single-window /v1/predict requests back-to-back;
+per-arm we report requests/s, p50/p99 request latency, and the server's own
+device-call count (from /healthz). Results land in
+experiments/serve_concurrency_results.json.
+
+Measurement notes: latency timing is end-to-end HTTP round trip from the
+client thread; ``predict_proba`` fetches values to host, which is the true
+device sync on this platform (bench.py notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fall_multimodal_tpu.configs import load_config, preset_path
+from fall_multimodal_tpu.models import build_model
+from fall_multimodal_tpu.serve import Predictor
+from fall_multimodal_tpu.server import RequestBatcher, make_server
+
+_PRESETS = {
+    "gstcan3": "gstcan_urfall_3stream",
+    "bilstm": "bilstm",
+    "musa": "musa_harup",
+}
+
+
+def build_predictor(family: str, batch_size: int) -> Predictor:
+    import jax.numpy as jnp
+
+    from fall_multimodal_tpu.train.optim import build_optimizer
+    from fall_multimodal_tpu.train.state import create_train_state
+
+    cfg = load_config(preset_path(_PRESETS[family]))
+    model = build_model(cfg)
+    d = cfg.data
+    # fresh torch-init weights: serving latency/throughput is weight-blind
+    state = create_train_state(
+        model, build_optimizer(cfg),
+        jnp.zeros((2, d.seq_len, d.num_joints, d.in_channels)),
+        jnp.zeros((2, d.seq_len, d.sensor_dim)),
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return Predictor(cfg, variables, batch_size=batch_size)
+
+
+def run_arm(pred: Predictor, coalesce: bool, clients: int,
+            requests_per_client: int, seed: int = 0) -> dict:
+    srv = make_server(pred, port=0).start()
+    if not coalesce:
+        # serial arm: one request per device call (pre-batching behavior)
+        srv.batcher._take_batch = lambda: [srv.batcher._queue.pop(0)]
+    d = pred.config.data
+    rng = np.random.default_rng(seed)
+    skel = rng.normal(size=(d.seq_len, d.num_joints, d.in_channels)).tolist()
+    sens = rng.normal(size=(d.seq_len, d.sensor_dim)).tolist()
+    body = json.dumps(
+        {"skeleton": skel, "sensor": sens}
+        if pred.requires_sensor else {"skeleton": skel}
+    ).encode()
+    url = f"http://{srv.host}:{srv.port}/v1/predict"
+
+    def post():
+        req = urllib.request.Request(url, data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            json.loads(r.read())
+
+    post()  # warm: compile + dispatch path
+    lat: list = []
+    lock = threading.Lock()
+
+    def client():
+        mine = []
+        for _ in range(requests_per_client):
+            t0 = time.perf_counter()
+            post()
+            mine.append((time.perf_counter() - t0) * 1e3)
+        with lock:
+            lat.extend(mine)
+
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = srv.batcher.stats()
+    srv.close()
+    arr = np.asarray(lat)
+    n = clients * requests_per_client
+    return {
+        "coalesce": coalesce,
+        "clients": clients,
+        "requests": n,
+        "req_per_s": round(n / wall, 1),
+        "p50_ms": round(float(np.percentile(arr, 50)), 1),
+        "p99_ms": round(float(np.percentile(arr, 99)), 1),
+        "device_calls": stats["device_calls"],
+        "max_coalesced_requests": stats["max_coalesced_requests"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="gstcan3", choices=sorted(_PRESETS))
+    ap.add_argument("--clients", type=int, nargs="+", default=[1, 8, 32])
+    ap.add_argument("--requests", type=int, default=64,
+                    help="requests per client thread")
+    ap.add_argument("--batch-size", type=int, default=32,
+                    help="compiled serving batch (both arms pad to it)")
+    args = ap.parse_args()
+
+    pred = build_predictor(args.family, args.batch_size)
+    rows = []
+    for clients in args.clients:
+        for coalesce in (False, True):
+            row = run_arm(pred, coalesce, clients, args.requests)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(__file__),
+                       "serve_concurrency_results.json")
+    with open(out, "w") as fh:
+        json.dump({"family": args.family, "batch_size": args.batch_size,
+                   "rows": rows}, fh, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,12 @@ def parse_args(argv=None):
                    help="capture a jax.profiler trace of the run under "
                         "<output-dir>/profile (TensorBoard/Perfetto "
                         "viewable)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: initialize jax.distributed before any "
+                        "device use (coordinator from JAX_COORDINATOR_ADDRESS/"
+                        "JAX_NUM_PROCESSES/JAX_PROCESS_ID, or cloud "
+                        "auto-detection); jax.devices() then spans all "
+                        "hosts and --mesh N lays DP over ICI + DCN")
     return p.parse_args(argv)
 
 
@@ -167,6 +173,13 @@ def validate_args(args) -> None:
 def main(argv=None) -> Dict:
     args = parse_args(argv)
     validate_args(args)
+    if args.distributed:
+        # must run before ANY jax device use (the runtime handshake
+        # happens at backend initialization)
+        from fall_multimodal_tpu.parallel import initialize_distributed
+
+        n = initialize_distributed()
+        print(f"jax.distributed initialized: {n} process(es)", flush=True)
     cfg = load_cli_config(args)
     out_dir = args.output_dir or os.path.join(
         "outputs", f"{cfg.model.name}_{time.strftime('%Y%m%dT%H%M%S')}"

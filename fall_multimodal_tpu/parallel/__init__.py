@@ -1,6 +1,7 @@
 from fall_multimodal_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharded,
+    initialize_distributed,
     make_mesh,
     make_parallel_eval_epoch,
     make_parallel_train_epoch,
@@ -14,6 +15,7 @@ from fall_multimodal_tpu.parallel.mesh import (
 __all__ = [
     "DATA_AXIS",
     "batch_sharded",
+    "initialize_distributed",
     "make_mesh",
     "make_parallel_eval_epoch",
     "make_parallel_train_epoch",

@@ -29,6 +29,40 @@ from fall_multimodal_tpu.train.state import TrainState
 DATA_AXIS = "data"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host hook: bring up JAX's distributed runtime (call ONCE, before
+    any other JAX use). After it, ``jax.devices()`` spans every host's chips
+    and the same 1-D mesh from :func:`make_mesh` lays data parallelism over
+    ICI within a host and DCN across hosts — no other code changes; GSPMD
+    compiles the cross-host collectives exactly like the single-host ones.
+
+    Arguments default from the standard env vars ``JAX_COORDINATOR_ADDRESS``
+    / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``; with none set anywhere,
+    JAX's own cluster auto-detection runs (Cloud TPU / GKE metadata).
+    Returns the process count. The reference is strictly single-process
+    (SURVEY.md section 2.5 — no torch.distributed/NCCL/MPI anywhere); this
+    is the TPU-native equivalent of the backend it never had.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)

@@ -21,11 +21,19 @@ API:
   per-class probabilities. Responds ``{"predictions": [int], "n": N
   [, "probabilities": [[float]]]}``.
 
-Shape/validation errors return 400 with the reason; the device forward is
-serialized by a lock (one TPU, deterministic tail latency) while request
-parsing runs concurrently in the ThreadingHTTPServer's per-request
-threads. ``--checkpoint`` accepts an orbax dir or a reference torch file
-(see docs/migration.md).
+Shape/validation errors return 400 with the reason. Request parsing runs
+concurrently in the ThreadingHTTPServer's per-request threads; the device
+forward runs on ONE dispatcher thread behind a coalescing queue
+(:class:`RequestBatcher`): whenever the device is free the dispatcher
+drains every waiting request into a single padded forward (capped at the
+compiled batch) and fans the probability rows back out. A lone request is
+picked up immediately — idle latency is unchanged — and batches form
+exactly when the device is the bottleneck, so concurrent throughput
+approaches the offline batch rate instead of one padded forward per
+request. Eval-mode forwards are row-independent (BatchNorm uses running
+stats), so coalesced results are identical to per-request calls.
+``--checkpoint`` accepts an orbax dir or a reference torch file (see
+docs/migration.md).
 """
 
 from __future__ import annotations
@@ -33,19 +41,138 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["PredictionServer", "make_server"]
+__all__ = ["PredictionServer", "RequestBatcher", "make_server"]
 
 _MAX_BODY = 256 * 1024 * 1024  # refuse absurd request bodies outright
+
+
+class _Pending:
+    """One enqueued request: input windows, a done event, and a result slot."""
+
+    __slots__ = ("skeleton", "sensor", "done", "proba", "error")
+
+    def __init__(self, skeleton: np.ndarray, sensor: Optional[np.ndarray]):
+        self.skeleton = skeleton
+        self.sensor = sensor
+        self.done = threading.Event()
+        self.proba: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class RequestBatcher:
+    """Coalesce concurrent prediction requests into single device calls.
+
+    ``submit`` blocks until the request's probability rows are ready. A
+    single dispatcher thread owns the device: when it becomes free it takes
+    every queued request (up to ``predictor.batch_size`` windows — the
+    compiled shape — per device call; an oversized single request still
+    goes through alone, the predictor chunks internally) and runs ONE
+    padded forward for all of them.
+
+    For models that do not consume the sensor stream the sensor is dropped
+    before batching (the forward ignores it; keeping it would force every
+    coalesced group to agree on a sensor shape for no effect).
+
+    ``stats()`` reports device-call counts for observability and tests.
+    """
+
+    def __init__(self, predictor):
+        self.predictor = predictor
+        self._cond = threading.Condition()
+        self._queue: List[_Pending] = []
+        self._closed = False
+        self._device_calls = 0
+        self._requests = 0
+        self._max_coalesced = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, skeleton: np.ndarray,
+               sensor: Optional[np.ndarray]) -> np.ndarray:
+        """Enqueue (N, T, V, C) windows; block until their (N, K) rows are
+        computed; raises whatever the forward raised for this group."""
+        if not self.predictor.requires_sensor:
+            sensor = None
+        item = _Pending(skeleton, sensor)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.append(item)
+            self._requests += 1
+            self._cond.notify()
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return item.proba
+
+    def stats(self) -> dict:
+        with self._cond:
+            return {
+                "requests": self._requests,
+                "device_calls": self._device_calls,
+                "max_coalesced_requests": self._max_coalesced,
+            }
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+        self._thread.join(timeout=5)
+
+    # --------------------------------------------------------- dispatcher
+
+    def _take_batch(self) -> List[_Pending]:
+        """Pop queued requests whose windows fit one compiled forward.
+        Call with the lock held and a non-empty queue."""
+        cap = self.predictor.batch_size
+        batch = [self._queue.pop(0)]
+        total = len(batch[0].skeleton)
+        while self._queue and total + len(self._queue[0].skeleton) <= cap:
+            item = self._queue.pop(0)
+            total += len(item.skeleton)
+            batch.append(item)
+        return batch
+
+    def _loop(self):
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if not self._queue:          # closed and drained
+                    return
+                batch = self._take_batch()
+                self._device_calls += 1
+                self._max_coalesced = max(self._max_coalesced, len(batch))
+            try:
+                skeleton = np.concatenate([b.skeleton for b in batch])
+                sensor = (
+                    np.concatenate([b.sensor for b in batch])
+                    if batch[0].sensor is not None else None
+                )
+                proba = self.predictor.predict_proba(skeleton, sensor)
+                start = 0
+                for item in batch:
+                    n = len(item.skeleton)
+                    item.proba = proba[start : start + n]
+                    start += n
+            except BaseException as e:       # fan the failure out, keep serving
+                for item in batch:
+                    item.error = e
+            finally:
+                for item in batch:
+                    item.done.set()
 
 
 class _Handler(BaseHTTPRequestHandler):
     # set on the class returned by make_server
     predictor = None
-    server_lock: threading.Lock = None
+    batcher: RequestBatcher = None
     quiet = True
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
@@ -77,6 +204,7 @@ class _Handler(BaseHTTPRequestHandler):
             "num_classes": pred.config.data.num_classes,
             "batch_size": pred.batch_size,
             "requires_sensor": pred.requires_sensor,
+            "batching": self.batcher.stats(),
         })
 
     def do_POST(self):
@@ -131,9 +259,9 @@ class _Handler(BaseHTTPRequestHandler):
                          f"{tuple(sensor.shape[1:]) if sensor.ndim == 3 else tuple(sensor.shape)}")
 
         try:
-            # one forward at a time: a single accelerator behind the server
-            with self.server_lock:
-                proba = self.predictor.predict_proba(skeleton, sensor)
+            # enqueue on the coalescing dispatcher: concurrent requests
+            # share one padded device forward instead of serializing
+            proba = self.batcher.submit(skeleton, sensor)
         except ValueError as e:          # predictor-level validation
             return self._error(400, str(e))
         except Exception as e:           # anything else is ours, not theirs
@@ -147,6 +275,16 @@ class _Handler(BaseHTTPRequestHandler):
         self._send_json(200, out)
 
 
+class _Server(ThreadingHTTPServer):
+    # The stdlib default listen backlog is 5. Request coalescing releases
+    # every waiting client in the same instant, and they all reconnect at
+    # once (one connection per request); with backlog 5 the overflow SYNs
+    # get RST — measured as ConnectionResetError at 32 concurrent clients
+    # and ~1 s SYN-retransmit p99 inflation at 8 (experiments/
+    # serve_concurrency.py). 128 covers any burst a single device can serve.
+    request_queue_size = 128
+
+
 class PredictionServer:
     """Owns a ``ThreadingHTTPServer`` bound to (host, port); ``port=0``
     picks an ephemeral port (``.port`` has the real one). Use ``serve()``
@@ -154,12 +292,13 @@ class PredictionServer:
 
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8000,
                  quiet: bool = True):
+        self.batcher = RequestBatcher(predictor)
         handler = type("Handler", (_Handler,), {
             "predictor": predictor,
-            "server_lock": threading.Lock(),
+            "batcher": self.batcher,
             "quiet": quiet,
         })
-        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd = _Server((host, port), handler)
         self._thread: Optional[threading.Thread] = None
 
     @property
@@ -178,6 +317,7 @@ class PredictionServer:
             pass
         finally:
             self._httpd.server_close()
+            self.batcher.close()
 
     def start(self):
         """Serve on a daemon thread (tests, embedding)."""
@@ -192,6 +332,7 @@ class PredictionServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        self.batcher.close()
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,

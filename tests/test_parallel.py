@@ -1,5 +1,7 @@
 """Multi-device data-parallel tests on the virtual 8-CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -307,3 +309,47 @@ def test_run_fold_mesh_end_to_end():
     result = run_fold(cfg, splits, epochs=2, mesh=make_mesh(8))
     assert result.test is not None
     assert 0.0 <= result.test.accuracy <= 1.0
+
+
+def test_initialize_distributed_single_process_runtime():
+    """The multi-host hook brings up a real jax.distributed runtime (one
+    process, CPU backend) in a fresh subprocess, and the mesh + a psum
+    collective work under it. Multi-process TPU pods cannot be simulated
+    here; this exercises the coordinator handshake and that our mesh path
+    is distributed-runtime clean."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os, socket
+# free ephemeral port for the in-process coordinator
+s = socket.socket(); s.bind(("127.0.0.1", 0))
+port = s.getsockname()[1]; s.close()
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "1"
+os.environ["JAX_PROCESS_ID"] = "0"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from fall_multimodal_tpu.parallel import initialize_distributed, make_mesh
+n = initialize_distributed()           # env-var path
+assert n == 1 and jax.process_count() == 1, (n, jax.process_count())
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+mesh = make_mesh(4)
+x = jax.device_put(jnp.arange(8.0), NamedSharding(mesh, P("data")))
+total = jax.jit(lambda v: v.sum())(x)  # cross-device reduction under the runtime
+assert float(total) == 28.0, float(total)
+print("DISTRIBUTED_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "DISTRIBUTED_OK" in proc.stdout

@@ -7,6 +7,7 @@ concurrent requests, and every 4xx validation path.
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -170,3 +171,125 @@ def _get_error(srv, path):
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
+
+
+# --------------------------------------------------------------- batcher
+
+
+class _SlowFakePredictor:
+    """Predictor stand-in whose forward blocks on an event — lets the test
+    pile requests up deterministically while the dispatcher is busy."""
+
+    batch_size = 8
+    requires_sensor = False
+
+    def __init__(self):
+        self.gate = threading.Event()
+        self.calls = []          # list of skeleton batch sizes per call
+
+    def predict_proba(self, skeleton, sensor):
+        self.gate.wait()
+        self.calls.append(len(skeleton))
+        # rows identify their input so fan-out order is checkable
+        return np.stack([[w.sum(), float(len(skeleton))] for w in skeleton])
+
+
+def test_batcher_coalesces_queued_requests():
+    from fall_multimodal_tpu.server import RequestBatcher
+
+    fake = _SlowFakePredictor()
+    batcher = RequestBatcher(fake)
+    windows = [np.full((2, 3), i, np.float32) for i in range(4)]
+    results = {}
+
+    def hit(i):
+        results[i] = batcher.submit(windows[i][None], None)
+
+    # request 0 occupies the dispatcher (gate closed); 1..3 queue behind it
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    threads[0].start()
+    while not batcher.stats()["device_calls"]:       # 0 is in-flight
+        time.sleep(0.001)
+    for t in threads[1:]:
+        t.start()
+    while batcher.stats()["requests"] < 4:           # 1..3 enqueued
+        time.sleep(0.001)
+    fake.gate.set()
+    for t in threads:
+        t.join()
+
+    # request 0 ran alone; 1..3 coalesced into ONE device call of 3 windows
+    assert fake.calls == [1, 3]
+    stats = batcher.stats()
+    assert stats == {"requests": 4, "device_calls": 2,
+                     "max_coalesced_requests": 3}
+    # each request got ITS OWN row back (sum identifies the window)
+    for i in range(4):
+        np.testing.assert_allclose(results[i][0, 0], windows[i].sum())
+    batcher.close()
+
+
+def test_batcher_respects_compiled_batch_cap():
+    from fall_multimodal_tpu.server import RequestBatcher
+
+    fake = _SlowFakePredictor()                       # batch_size = 8
+    batcher = RequestBatcher(fake)
+    results = {}
+
+    def hit(i, n):
+        results[i] = batcher.submit(np.full((n, 3), i, np.float32), None)
+
+    # 0 occupies the device; then 5+5+2 windows queue: the cap packs
+    # 5 with 2 (7 <= 8) only if order allowed — it takes in FIFO order,
+    # so the first call is 5 alone (5+5 > 8), then 5+2 coalesce
+    threads = [threading.Thread(target=hit, args=(0, 1))]
+    threads[0].start()
+    while not batcher.stats()["device_calls"]:
+        time.sleep(0.001)
+    for i, n in [(1, 5), (2, 5), (3, 2)]:
+        t = threading.Thread(target=hit, args=(i, n))
+        t.start()
+        threads.append(t)
+        while batcher.stats()["requests"] < i + 1:
+            time.sleep(0.001)
+    fake.gate.set()
+    for t in threads:
+        t.join()
+    assert fake.calls == [1, 5, 7]
+    for i, n in [(0, 1), (1, 5), (2, 5), (3, 2)]:
+        assert results[i].shape[0] == n
+    batcher.close()
+
+
+def test_batcher_fans_out_forward_errors():
+    from fall_multimodal_tpu.server import RequestBatcher
+
+    class _Boom:
+        batch_size = 8
+        requires_sensor = False
+
+        def predict_proba(self, skeleton, sensor):
+            raise ValueError("bad windows")
+
+    batcher = RequestBatcher(_Boom())
+    with pytest.raises(ValueError, match="bad windows"):
+        batcher.submit(np.zeros((1, 3), np.float32), None)
+    # the dispatcher survives a failing group and keeps serving
+    with pytest.raises(ValueError, match="bad windows"):
+        batcher.submit(np.zeros((1, 3), np.float32), None)
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.zeros((1, 3), np.float32), None)
+
+
+def test_healthz_reports_batching_stats(served):
+    srv, pred, data = served
+    _post(srv, "/v1/predict", {
+        "skeleton": data.features[:2].tolist(),
+        "sensor": data.sensors[:2].tolist(),
+    })
+    status, body = _get(srv, "/healthz")
+    assert status == 200
+    stats = body["batching"]
+    assert stats["requests"] >= 1
+    assert 1 <= stats["device_calls"] <= stats["requests"]
