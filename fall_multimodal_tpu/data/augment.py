@@ -38,13 +38,35 @@ __all__ = ["FLIP_PERMUTATIONS", "make_augment_fn"]
 # Wrist, L/R Hip, L/R Knee, L/R Ankle) + the synthetic center joint 13.
 # coco_mmpose is the standard 17-keypoint COCO order (nose, L/R eye, L/R
 # ear, L/R shoulder/elbow/wrist/hip/knee/ankle; reference
-# Model/graph.py:41-55) + the neck/center joint 17. Both permutations are
-# validated against the graph topology in test_augment.py (mirroring the
-# joints must leave the skeleton's edge set invariant).
+# Model/graph.py:41-55) + the neck/center joint 17.
+#
+# openpose is the BODY_18 order (nose, neck, R shoulder/elbow/wrist,
+# L shoulder/elbow/wrist, R hip/knee/ankle, L hip/knee/ankle, R eye,
+# L eye, R ear, L ear; reference musa_model.py:236-244). ntu-rgb+d is the
+# Kinect-v2 25-joint order (spine-base, spine-mid, neck, head, L arm 4-7,
+# R arm 8-11, L leg 12-15, R leg 16-19, spine-shoulder 20, L handtip/
+# thumb 21-22, R handtip/thumb 23-24; musa_model.py:245-255). ntu_edge is
+# the same skeleton with the spine-shoulder node removed and the hand
+# joints renumbered down by one (musa_model.py:256-266).
+#
+# Every permutation is validated against the graph topology in
+# test_augment.py (an involution that maps the layout's bone set onto
+# itself and fixes the center joint).
 FLIP_PERMUTATIONS = {
     "coco_cut": np.array([0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 13]),
     "coco_mmpose": np.array(
         [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15, 17]
+    ),
+    "openpose": np.array(
+        [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 15, 14, 17, 16]
+    ),
+    "ntu-rgb+d": np.array(
+        [0, 1, 2, 3, 8, 9, 10, 11, 4, 5, 6, 7, 16, 17, 18, 19,
+         12, 13, 14, 15, 20, 23, 24, 21, 22]
+    ),
+    "ntu_edge": np.array(
+        [0, 1, 2, 3, 8, 9, 10, 11, 4, 5, 6, 7, 16, 17, 18, 19,
+         12, 13, 14, 15, 22, 23, 20, 21]
     ),
 }
 

@@ -39,6 +39,7 @@ docs/migration.md).
 from __future__ import annotations
 
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
@@ -96,9 +97,23 @@ class RequestBatcher:
     def submit(self, skeleton: np.ndarray,
                sensor: Optional[np.ndarray]) -> np.ndarray:
         """Enqueue (N, T, V, C) windows; block until their (N, K) rows are
-        computed; raises whatever the forward raised for this group."""
+        computed; raises whatever the forward raised for this group.
+
+        Validates the cross-stream invariants BEFORE enqueueing: a request
+        whose sensor row count disagrees with its skeleton row count must
+        never enter a coalesced group (two such requests can make the
+        concatenated totals match while misaligning every peer's sensor
+        rows across request boundaries — silently wrong predictions with a
+        200 status)."""
         if not self.predictor.requires_sensor:
             sensor = None
+        elif sensor is None:
+            raise ValueError(
+                "model requires a sensor stream but sensor is None")
+        if sensor is not None and len(sensor) != len(skeleton):
+            raise ValueError(
+                f"sensor has {len(sensor)} windows but skeleton has "
+                f"{len(skeleton)}; counts must match")
         item = _Pending(skeleton, sensor)
         with self._cond:
             if self._closed:
@@ -124,6 +139,11 @@ class RequestBatcher:
             self._closed = True
             self._cond.notify()
         self._thread.join(timeout=5)
+        if self._thread.is_alive():
+            logging.getLogger(__name__).warning(
+                "RequestBatcher dispatcher still running after close() "
+                "(a device forward — likely a compile — is in flight; it "
+                "will finish on the daemon thread)")
 
     # --------------------------------------------------------- dispatcher
 
@@ -161,9 +181,16 @@ class RequestBatcher:
                     n = len(item.skeleton)
                     item.proba = proba[start : start + n]
                     start += n
-            except BaseException as e:       # fan the failure out, keep serving
+            except BaseException as e:
+                # Fan the failure out with a FRESH exception per request:
+                # re-raising one shared instance concurrently in N handler
+                # threads mutates a shared traceback and blames one
+                # request's error text on its peers.
                 for item in batch:
-                    item.error = e
+                    item.error = RuntimeError(
+                        f"batched forward failed: {type(e).__name__}: {e}")
+                if not isinstance(e, Exception):
+                    raise  # KeyboardInterrupt/SystemExit: stop dispatching
             finally:
                 for item in batch:
                     item.done.set()
@@ -258,13 +285,23 @@ class _Handler(BaseHTTPRequestHandler):
                          f"({d.seq_len}, {d.sensor_dim}), got "
                          f"{tuple(sensor.shape[1:]) if sensor.ndim == 3 else tuple(sensor.shape)}")
 
+        if self.predictor.requires_sensor and sensor is None:
+            return self._error(
+                400, f"model {self.predictor.config.model.name!r} "
+                     f"requires a 'sensor' stream")
+        if sensor is not None and sensor.shape[0] != skeleton.shape[0]:
+            return self._error(
+                400, f"sensor has {sensor.shape[0]} windows but skeleton "
+                     f"has {skeleton.shape[0]}; counts must match")
+
         try:
             # enqueue on the coalescing dispatcher: concurrent requests
-            # share one padded device forward instead of serializing
+            # share one padded device forward instead of serializing.
+            # Every per-request invariant was validated above, so anything
+            # surfacing here is a server-side fault (possibly triggered by
+            # a coalesced peer) — 500, never a 400 blaming this request.
             proba = self.batcher.submit(skeleton, sensor)
-        except ValueError as e:          # predictor-level validation
-            return self._error(400, str(e))
-        except Exception as e:           # anything else is ours, not theirs
+        except Exception as e:
             return self._error(500, f"{type(e).__name__}: {e}")
         out = {
             "predictions": [int(c) for c in proba.argmax(-1)],

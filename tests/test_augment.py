@@ -91,9 +91,11 @@ def test_flip_swaps_left_right_and_mirrors_x(rng):
 
 
 def test_flip_unknown_layout_raises():
+    # every shipped layout now has a pairing; a custom layout without one
+    # must still fail loudly at build time, not mid-train
     with pytest.raises(ValueError, match="left/right"):
         make_augment_fn(
-            AugmentConfig(enabled=True, flip_prob=0.5), layout="ntu-rgb+d")
+            AugmentConfig(enabled=True, flip_prob=0.5), layout="my_custom")
 
 
 @pytest.mark.parametrize("layout", sorted(FLIP_PERMUTATIONS))

@@ -330,3 +330,120 @@ def test_prep_cli_join_and_normalize(tmp_path, rng):
     assert os.path.exists(out_csv)
     assert set(HARUP_ACCEL_COLUMNS) <= set(joined.columns)
     assert len(joined) == len(pose)
+
+
+# ------------------------------------------------------------- video path
+
+
+def _write_frames(cv2, frames_dir, n, size=(320, 240), start=0):
+    """PNG frame dump: frame i is a solid color ramp so order is checkable
+    even through a lossy codec."""
+    os.makedirs(frames_dir, exist_ok=True)
+    w, h = size
+    for i in range(n):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:] = (min(255, (start + i) * 20), 60, 200)
+        assert cv2.imwrite(os.path.join(frames_dir, f"frame_{i:04d}.png"), img)
+
+
+def test_frames_to_video_roundtrip(tmp_path):
+    """frames_to_video writes a readable 30fps 320x240 video with one
+    output frame per input PNG, in name order (``har_create1.py:42-70``)."""
+    cv2 = pytest.importorskip("cv2")
+    from fall_multimodal_tpu.data.prep import frames_to_video
+
+    frames_dir = str(tmp_path / "frames")
+    n = 12
+    _write_frames(cv2, frames_dir, n)
+    out = frames_to_video(frames_dir, str(tmp_path / "vid.avi"), fps=30)
+    assert os.path.exists(out)
+
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert cap.get(cv2.CAP_PROP_FPS) == pytest.approx(30, abs=0.5)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (240, 320, 3)
+        frames.append(frame)
+    cap.release()
+    assert len(frames) == n
+    # frame order survives encode: the blue-channel ramp is monotone
+    blues = [float(f[..., 0].mean()) for f in frames]
+    assert blues == sorted(blues)
+    assert blues[-1] - blues[0] > 100
+
+
+def test_frames_to_video_resizes_odd_frames(tmp_path):
+    """Input frames at a different resolution are resized to the target
+    video size, matching the reference's fixed 320x240 writer."""
+    cv2 = pytest.importorskip("cv2")
+    from fall_multimodal_tpu.data.prep import frames_to_video
+
+    frames_dir = str(tmp_path / "frames")
+    _write_frames(cv2, frames_dir, 5, size=(100, 80))
+    out = frames_to_video(frames_dir, str(tmp_path / "vid.avi"), fps=30)
+    cap = cv2.VideoCapture(out)
+    ok, frame = cap.read()
+    n = 1
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert ok and frame.shape == (240, 320, 3)
+    assert n == 5
+
+
+def test_prep_cli_chain_unzip_videos_annotate_windows(tmp_path, rng):
+    """Full L0 chain through the prep CLI: zip of frame dumps -> unzip ->
+    videos -> annotation CSV -> windowed pickle (SURVEY.md §3.6)."""
+    cv2 = pytest.importorskip("cv2")
+    from fall_multimodal_tpu.data.prep import main as prep_main
+
+    # stage a subject archive of PNG frames
+    stage = tmp_path / "stage" / "camera1"
+    _write_frames(cv2, str(stage), 8)
+    src = tmp_path / "zips"
+    src.mkdir()
+    with zipfile.ZipFile(src / "subj1.zip", "w") as zf:
+        for f in sorted(os.listdir(stage)):
+            zf.write(stage / f, f"camera1/{f}")
+
+    # unzip
+    extracted = prep_main([
+        "unzip", "--src", str(src), "--dst", str(tmp_path / "raw")])
+    assert extracted == ["subj1.zip"]
+    frames_dir = tmp_path / "raw" / "camera1"
+    assert len(os.listdir(frames_dir)) == 8
+
+    # videos
+    vid = prep_main([
+        "videos", "--frames-dir", str(frames_dir),
+        "--out", str(tmp_path / "vid0.avi")])
+    cap = cv2.VideoCapture(vid)
+    n_frames = 0
+    while cap.read()[0]:
+        n_frames += 1
+    cap.release()
+    assert n_frames == 8
+
+    # annotate: per-frame labels for the extracted video + pose columns
+    # (pose extraction itself needs external detector/pose nets — stubbed
+    # pipeline covered by TestPoseExtractionDriver)
+    annot = build_annotation_csv(
+        {"vid0": [(f, "Fall" if f >= 40 else "Walk") for f in range(80)]})
+    for j in range(13):
+        annot[f"j{j}_x"] = rng.random(len(annot)) * 320
+        annot[f"j{j}_y"] = rng.random(len(annot)) * 240
+        annot[f"j{j}_s"] = 0.5 + 0.5 * rng.random(len(annot))
+    annot_csv = str(tmp_path / "annot.csv")
+    annot.to_csv(annot_csv, index=False)
+
+    # windows
+    out_pkl = str(tmp_path / "data.pkl")
+    data = prep_main(["windows", "--annot", annot_csv, "--out", out_pkl])
+    assert len(data) == 50                       # range(80 - 30) windows
+    assert data.features.shape == (50, 30, 14, 3)
+    loaded = load_pickle_windows(out_pkl)
+    np.testing.assert_allclose(loaded.features, data.features)

@@ -158,6 +158,15 @@ def test_validation_errors(served):
     })
     assert status == 400 and "(30, 6)" in body["error"]
 
+    # sensor/skeleton window-count mismatch: must be rejected BEFORE the
+    # coalescing queue (two mismatched requests can make group totals
+    # match and silently misalign innocent peers' sensor rows)
+    status, body = _post(srv, "/v1/predict", {
+        "skeleton": data.features[:2].tolist(),
+        "sensor": data.sensors[:3].tolist(),
+    })
+    assert status == 400 and "counts must match" in body["error"]
+
     # unknown routes
     status, body = _get_error(srv, "/nope")
     assert status == 404
@@ -272,14 +281,84 @@ def test_batcher_fans_out_forward_errors():
             raise ValueError("bad windows")
 
     batcher = RequestBatcher(_Boom())
-    with pytest.raises(ValueError, match="bad windows"):
+    # forward failures surface wrapped (per-request instance) but keep the
+    # original type and message in the text
+    with pytest.raises(RuntimeError, match="ValueError: bad windows"):
         batcher.submit(np.zeros((1, 3), np.float32), None)
     # the dispatcher survives a failing group and keeps serving
-    with pytest.raises(ValueError, match="bad windows"):
+    with pytest.raises(RuntimeError, match="bad windows"):
         batcher.submit(np.zeros((1, 3), np.float32), None)
     batcher.close()
     with pytest.raises(RuntimeError, match="closed"):
         batcher.submit(np.zeros((1, 3), np.float32), None)
+
+
+def test_batcher_error_instances_are_per_request():
+    """A failing coalesced group hands each request its OWN exception
+    object — re-raising one shared instance in N threads mutates a shared
+    traceback and cross-blames requests."""
+    from fall_multimodal_tpu.server import RequestBatcher
+
+    class _SlowBoom:
+        batch_size = 8
+        requires_sensor = False
+
+        def __init__(self):
+            self.gate = threading.Event()
+
+        def predict_proba(self, skeleton, sensor):
+            self.gate.wait()
+            raise ValueError("bad windows")
+
+    fake = _SlowBoom()
+    batcher = RequestBatcher(fake)
+    errors = {}
+
+    def hit(i):
+        try:
+            batcher.submit(np.zeros((1, 3), np.float32), None)
+        except RuntimeError as e:
+            errors[i] = e
+
+    threads = [threading.Thread(target=hit, args=(0,))]
+    threads[0].start()
+    while not batcher.stats()["device_calls"]:       # 0 is in-flight
+        time.sleep(0.001)
+    for i in (1, 2):                                  # 1..2 coalesce behind
+        t = threading.Thread(target=hit, args=(i,))
+        t.start()
+        threads.append(t)
+        while batcher.stats()["requests"] < i + 1:
+            time.sleep(0.001)
+    fake.gate.set()
+    for t in threads:
+        t.join()
+    assert set(errors) == {0, 1, 2}
+    assert errors[1] is not errors[2]                 # same group, own instance
+    for e in errors.values():
+        assert "bad windows" in str(e)
+    batcher.close()
+
+
+def test_batcher_submit_validates_sensor_invariants():
+    """The cross-stream invariants are enforced BEFORE enqueueing, so a
+    malformed request can never misalign a coalesced group's sensor rows."""
+    from fall_multimodal_tpu.server import RequestBatcher
+
+    class _NeedsSensor:
+        batch_size = 8
+        requires_sensor = True
+
+        def predict_proba(self, skeleton, sensor):
+            return np.zeros((len(skeleton), 2), np.float32)
+
+    batcher = RequestBatcher(_NeedsSensor())
+    with pytest.raises(ValueError, match="requires a sensor"):
+        batcher.submit(np.zeros((2, 3), np.float32), None)
+    with pytest.raises(ValueError, match="counts must match"):
+        batcher.submit(np.zeros((2, 3), np.float32),
+                       np.zeros((3, 4), np.float32))
+    batcher.close()
 
 
 def test_healthz_reports_batching_stats(served):
