@@ -328,6 +328,33 @@ def run_reference_targcn(train_np, valid_np, epochs: int, seed: int,
     )
 
 
+def load_reference_cnn_bilstm_class(reference_path: str):
+    """Execute the ``CNN_BiLSTM`` cell of ``GSTCAN_UR_sensor.ipynb`` and
+    return the class (shared with ``cv_protocol.py``)."""
+    import json as _json
+
+    nb = _json.load(
+        open(os.path.join(reference_path, "GSTCAN_UR_sensor.ipynb"))
+    )
+    cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    ns = {}
+    exec("".join(cells[2]["source"]), ns)
+    return ns["CNN_BiLSTM"]
+
+
+def load_reference_gstcan_class(reference_path: str):
+    """Execute the model cells of ``GSTCAN_UR_conv.ipynb`` and return the
+    notebook-canonical ``TwoStreamSpatialTemporalGraph`` (shared with
+    ``cv_protocol.py``)."""
+    import json as _json
+
+    nb = _json.load(open(os.path.join(reference_path, "GSTCAN_UR_conv.ipynb")))
+    cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    ns = {}
+    exec("".join(cells[1]["source"]) + "\n" + "".join(cells[2]["source"]), ns)
+    return ns["TwoStreamSpatialTemporalGraph"]
+
+
 def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
                              classes: int, reference_path: str,
                              batch_size: int = 32, lr: float = None):
@@ -337,20 +364,12 @@ def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
     soft labels, sensor stream only). The module hard-codes its output dim
     to 2 inside the class (the ignored-ctor-args quirk our port documents),
     so this arm requires ``classes == 2``."""
-    import json as _json
-
     import torch
 
-    nb = _json.load(
-        open(os.path.join(reference_path, "GSTCAN_UR_sensor.ipynb"))
-    )
-    cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
-    ns = {}
-    exec("".join(cells[2]["source"]), ns)
-
+    cls = load_reference_cnn_bilstm_class(reference_path)
     torch.manual_seed(seed)
-    model = ns["CNN_BiLSTM"](hidden_size=16, num_layers=1, dropout_prob=0.3,
-                             num_classes=classes, feature="mean")
+    model = cls(hidden_size=16, num_layers=1, dropout_prob=0.3,
+                num_classes=classes, feature="mean")
 
     def to_torch(ds):
         return (torch.tensor(ds.sensors), torch.tensor(ds.labels))
@@ -369,17 +388,12 @@ def run_reference(train_np, valid_np, epochs: int, seed: int, classes: int,
                   lr: float = None):
     import contextlib
     import io
-    import json as _json
 
     import torch
 
-    nb = _json.load(open(os.path.join(reference_path, "GSTCAN_UR_conv.ipynb")))
-    cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
-    ns = {}
-    exec("".join(cells[1]["source"]) + "\n" + "".join(cells[2]["source"]), ns)
-
+    cls = load_reference_gstcan_class(reference_path)
     torch.manual_seed(seed)
-    model = ns["TwoStreamSpatialTemporalGraph"]({"strategy": "spatial"}, classes)
+    model = cls({"strategy": "spatial"}, classes)
 
     def to_torch(ds):
         skel = torch.tensor(np.transpose(ds.features, (0, 3, 1, 2)))  # NCTV
