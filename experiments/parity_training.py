@@ -60,11 +60,11 @@ def flip_labels(ds, rate: float, seed: int):
 
 
 def make_data(n_windows: int, classes: int, noise: float, label_flip: float,
-              seed: int = 0):
+              seed: int = 0, sensor_dim: int = 4):
     from fall_multimodal_tpu.data import make_synthetic, split_dataset
 
     data = make_synthetic(
-        n_windows=n_windows, num_classes=classes, sensor_dim=4,
+        n_windows=n_windows, num_classes=classes, sensor_dim=sensor_dim,
         windows_per_video=16, noise=noise, seed=seed,
     )
     data = flip_labels(data, label_flip, seed=seed + 1)
@@ -76,7 +76,12 @@ def make_data(n_windows: int, classes: int, noise: float, label_flip: float,
 # reference's own training cell's setting (TARGCN's notebook uses 1e-5,
 # TARGCN_HAR_conv_10kfold.ipynb:3; every other family trains at 1e-3)
 FAMILY_LR = {"gstcan": 1e-3, "musa": 1e-3, "cnn_bilstm": 1e-3,
-             "transformer": 1e-3, "targcn": 1e-5}
+             "transformer": 1e-3, "targcn": 1e-5, "ensemble": 1e-3}
+
+# HAR-UP families consume the 15-channel accelerometer stream
+# (har_create4_sensor.py:88-92); UR families the 4-channel one
+FAMILY_SENSOR_DIM = {"gstcan": 4, "musa": 4, "cnn_bilstm": 4,
+                     "transformer": 4, "targcn": 4, "ensemble": 15}
 
 
 def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
@@ -92,6 +97,7 @@ def run_ours(train_np, valid_np, epochs: int, seed: int, classes: int,
         "cnn_bilstm": "sensor_cnn_bilstm_urfall",
         "transformer": "skeleton_transformer_harup",
         "targcn": "targcn_harup",
+        "ensemble": "transformer_ensemble_harup",
     }[family]
     cfg = load_config(
         preset_path(preset),
@@ -202,6 +208,44 @@ def _torch_train_eval_loop(model, tr, va, epochs, seed, lr, batch_size,
     }
 
 
+def _ensure_torchvision_stub():
+    """This image ships no torchvision; the reference only uses
+    ``ops.StochasticDepth`` — stub it with torchvision's exact semantics
+    (survival-scaled Bernoulli, one draw per call in "batch" mode,
+    per-sample in "row" mode)."""
+    import sys
+    import types
+
+    import torch
+
+    if "torchvision" in sys.modules:
+        return
+
+    class _StochasticDepth(torch.nn.Module):
+        def __init__(self, p, mode):
+            super().__init__()
+            self.p, self.mode = float(p), mode
+
+        def forward(self, x):
+            if not self.training or self.p == 0.0:
+                return x
+            keep = 1.0 - self.p
+            size = (
+                [x.shape[0]] + [1] * (x.ndim - 1)
+                if self.mode == "row" else [1] * x.ndim
+            )
+            noise = torch.empty(
+                size, dtype=x.dtype, device=x.device
+            ).bernoulli_(keep)
+            return x * noise / keep
+
+    tv = types.ModuleType("torchvision")
+    tv.ops = types.ModuleType("torchvision.ops")
+    tv.ops.StochasticDepth = _StochasticDepth
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv.ops
+
+
 def run_reference_transformer(train_np, valid_np, epochs: int, seed: int,
                               classes: int, reference_path: str,
                               batch_size: int = 32, lr: float = None):
@@ -212,39 +256,10 @@ def run_reference_transformer(train_np, valid_np, epochs: int, seed: int,
     ``SkeletonTransformer(in_channels=3, n_joints=14, seq_len=30, ...)``
     on (B, C, T, V, M=1) inputs)."""
     import importlib.util
-    import sys
-    import types
 
     import torch
 
-    if "torchvision" not in sys.modules:
-        # this image ships no torchvision; the reference only uses
-        # ops.StochasticDepth — stub it with torchvision's exact
-        # semantics (survival-scaled Bernoulli, one draw per call in
-        # "batch" mode, per-sample in "row" mode)
-        class _StochasticDepth(torch.nn.Module):
-            def __init__(self, p, mode):
-                super().__init__()
-                self.p, self.mode = float(p), mode
-
-            def forward(self, x):
-                if not self.training or self.p == 0.0:
-                    return x
-                keep = 1.0 - self.p
-                size = (
-                    [x.shape[0]] + [1] * (x.ndim - 1)
-                    if self.mode == "row" else [1] * x.ndim
-                )
-                noise = torch.empty(
-                    size, dtype=x.dtype, device=x.device
-                ).bernoulli_(keep)
-                return x * noise / keep
-
-        tv = types.ModuleType("torchvision")
-        tv.ops = types.ModuleType("torchvision.ops")
-        tv.ops.StochasticDepth = _StochasticDepth
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv.ops
+    _ensure_torchvision_stub()
 
     spec = importlib.util.spec_from_file_location(
         "ref_skeleton_transformer",
@@ -383,6 +398,83 @@ def run_reference_cnn_bilstm(train_np, valid_np, epochs: int, seed: int,
     )
 
 
+def run_reference_ensemble(train_np, valid_np, epochs: int, seed: int,
+                           classes: int, reference_path: str,
+                           batch_size: int = 32, lr: float = None):
+    """Ensemble head-to-head: the notebook ``Ensemble`` (skeleton
+    transformer on pts + CNN_BiLSTM on the 15-ch sensor stream, per-stream
+    logits concat -> Linear; ``GSTCAN_HAR_conv_kfold_trans.ipynb:3``),
+    trained per the notebook's k-fold cell (``:8``: RMSprop 1e-3, CE,
+    batch 32).
+
+    The committed cell cannot execute as-is — three unblocking patches,
+    each preserving the evident intent, are applied to the cell SOURCE
+    before exec:
+
+    1. ``num_classes`` is a free notebook global (used in
+       ``nn.Linear(num_classes*2, num_classes)``) — bound to 11, the value
+       every HAR-UP cell uses (and the hard-coded output dim of the
+       CNN_BiLSTM sensor head in cell 2).
+    2. ``SkeletonTransformer(n_joints=14, seq_len=30)`` omits the required
+       ``in_channels``/``num_classes`` positional args (TypeError as
+       committed) — filled with the values of the notebook's own
+       standalone-transformer line (cell 8: ``in_channels=3 ...
+       num_classes=11, embedding_dim=32, n_block=6, head_dim=16,
+       n_heads=8``).
+    3. ``forward`` references ``self.skeleton_transofrmer`` (typo) while
+       ``__init__`` assigns ``self.skeleton_transformer`` (AttributeError
+       as committed) — the typo is normalized.
+
+    Our ``TransformerEnsemble`` implements the same patched semantics
+    (``models/fusion.py``)."""
+    import json as _json
+    import sys
+
+    import torch
+
+    _ensure_torchvision_stub()
+
+    nb = _json.load(
+        open(os.path.join(reference_path, "GSTCAN_HAR_conv_kfold_trans.ipynb"))
+    )
+    cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    sensor_src = "".join(cells[2]["source"])       # CNN1D/BiLSTM/CNN_BiLSTM
+    ens_src = "".join(cells[3]["source"])          # Ensemble
+    ens_src = ens_src.replace(
+        "SkeletonTransformer(n_joints=14,seq_len=30)",
+        "SkeletonTransformer(in_channels=3,n_joints=14,seq_len=30,"
+        "num_classes=num_classes,embedding_dim=32,n_block=6,head_dim=16,"
+        "n_heads=8)",
+    ).replace("self.skeleton_transofrmer(", "self.skeleton_transformer(")
+
+    # cell 3 does `from skeleton_transformer import SkeletonTransformer`
+    sys.path.insert(0, reference_path)
+    try:
+        ns = {"num_classes": classes}
+        exec(sensor_src, ns)
+        exec(ens_src, ns)
+    finally:
+        sys.path.remove(reference_path)
+
+    torch.manual_seed(seed)
+    model = ns["Ensemble"]()
+
+    def to_torch(ds):
+        # transformer stream: (N, T, V, C) -> (N, C, T, V, M=1)
+        skel = torch.tensor(
+            np.transpose(ds.features, (0, 3, 1, 2))[..., None]
+        )
+        return (skel, torch.tensor(ds.sensors), torch.tensor(ds.labels))
+
+    def forward(model, split, idx):
+        return model((split[0][idx], split[1][idx]))
+
+    return _torch_train_eval_loop(
+        model, to_torch(train_np), to_torch(valid_np), epochs, seed,
+        lr or FAMILY_LR["ensemble"], batch_size, forward,
+    )
+
+
 def run_reference(train_np, valid_np, epochs: int, seed: int, classes: int,
                   reference_path: str, batch_size: int = 32,
                   lr: float = None):
@@ -438,7 +530,8 @@ def main():
     parser.add_argument("--out", default=None)
     parser.add_argument(
         "--family",
-        choices=["gstcan", "musa", "cnn_bilstm", "transformer", "targcn"],
+        choices=["gstcan", "musa", "cnn_bilstm", "transformer", "targcn",
+                 "ensemble"],
         default="gstcan",
     )
     parser.add_argument(
@@ -460,9 +553,14 @@ def main():
     if args.family == "cnn_bilstm" and args.classes != 2:
         parser.error("--family cnn_bilstm requires --classes 2: the "
                      "reference module hard-codes its output dim to 2")
+    if args.family == "ensemble" and args.classes != 11:
+        parser.error("--family ensemble requires --classes 11: the "
+                     "reference CNN_BiLSTM sensor head hard-codes its "
+                     "output dim to 11")
 
     train_np, valid_np = make_data(
-        args.windows, args.classes, args.noise, args.label_flip
+        args.windows, args.classes, args.noise, args.label_flip,
+        sensor_dim=FAMILY_SENSOR_DIM[args.family],
     )
     ref_fn = {
         "gstcan": run_reference,
@@ -470,6 +568,7 @@ def main():
         "cnn_bilstm": run_reference_cnn_bilstm,
         "transformer": run_reference_transformer,
         "targcn": run_reference_targcn,
+        "ensemble": run_reference_ensemble,
     }[args.family]
     rows = []
     if args.merge:

@@ -12,10 +12,16 @@ model family:
 
 on whatever backend is attached (v5e via the axon tunnel here). Numbers go
 into PARITY.md "Serving latency". Run: ``python experiments/serve_latency.py``.
+
+Spread protocol (round 4, VERDICT r3 weak #3): each family is measured
+``--repeats`` times (default 5); the committed row is the median across
+repeats with the min..max band, because single-run tail percentiles on
+this tunneled platform move by tens of percent between runs.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 
 import os
@@ -43,8 +49,19 @@ def build_predictor(preset: str, batch_size: int, sensor_dim: int):
     return cfg, Predictor(cfg, dict(variables), batch_size=batch_size)
 
 
+def _spread(reps, key):
+    vals = [r[key] for r in reps]
+    return {"median": round(float(np.median(vals)), 2),
+            "min": round(float(np.min(vals)), 2),
+            "max": round(float(np.max(vals)), 2)}
+
+
 def main():
     from fall_multimodal_tpu.serve import StreamingClassifier, measure_push_latency
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--repeats", type=int, default=5)
+    args = parser.parse_args()
 
     rows = []
     for preset, sensor_dim in (
@@ -56,10 +73,6 @@ def main():
 
         # batch-1 streaming path (the new default)
         stream = StreamingClassifier(offline, seq_len=cfg.data.seq_len)
-        stats1 = measure_push_latency(
-            stream, n_pushes=200, warmup=30,
-            n_joints=cfg.data.num_joints, sensor_dim=sensor_dim,
-        )
 
         # the round-2 path: pad each push to the compiled batch of 128
         class _Padded(StreamingClassifier):
@@ -71,21 +84,36 @@ def main():
                 self._pose, self._sensor, self._votes = [], [], []
 
         padded = _Padded(offline, cfg.data.seq_len)
-        stats128 = measure_push_latency(
-            padded, n_pushes=50, warmup=10,
-            n_joints=cfg.data.num_joints, sensor_dim=sensor_dim,
-        )
+
+        reps1, reps128 = [], []
+        for _ in range(args.repeats):
+            reps1.append(measure_push_latency(
+                stream, n_pushes=200, warmup=30,
+                n_joints=cfg.data.num_joints, sensor_dim=sensor_dim,
+            ))
+            reps128.append(measure_push_latency(
+                padded, n_pushes=50, warmup=10,
+                n_joints=cfg.data.num_joints, sensor_dim=sensor_dim,
+            ))
         row = {
             "preset": preset,
-            "batch1": stats1,
-            "padded_batch128": stats128,
-            "speedup_p50": round(stats128["p50_ms"] / stats1["p50_ms"], 2),
+            "repeats": args.repeats,
+            "batch1": {k: _spread(reps1, k)
+                       for k in ("p50_ms", "p90_ms", "p99_ms", "mean_ms")},
+            "padded_batch128": {k: _spread(reps128, k)
+                                for k in ("p50_ms", "p90_ms", "p99_ms",
+                                          "mean_ms")},
+            "speedup_p50_median": round(
+                float(np.median([r["p50_ms"] for r in reps128]))
+                / float(np.median([r["p50_ms"] for r in reps1])), 2),
+            "per_repeat": {"batch1": reps1, "padded_batch128": reps128},
         }
         rows.append(row)
-        print(json.dumps(row))
+        print(json.dumps({k: v for k, v in row.items() if k != "per_repeat"}))
 
     with open("experiments/serve_latency_results.json", "w") as fh:
-        json.dump({"backend": jax.default_backend(), "rows": rows}, fh, indent=2)
+        json.dump({"backend": jax.default_backend(),
+                   "repeats": args.repeats, "rows": rows}, fh, indent=2)
 
 
 if __name__ == "__main__":
