@@ -68,6 +68,10 @@ FAMILIES = {
     # transformer: throughput falls with batch above 128 (kernel-
     # serialization bound; round-3 sweep 64/128/256/512 in PARITY.md)
     "transformer": ("skeleton_transformer_harup", 128, 15, 11, "bfloat16"),
+    # ensemble: skeleton transformer + CNN_BiLSTM logit concat
+    # (GSTCAN_HAR_conv_kfold_trans.ipynb:3); inherits the transformer's
+    # batch-128 serialization bound since it dominates the step
+    "ensemble": ("transformer_ensemble_harup", 128, 15, 11, "bfloat16"),
 }
 
 
@@ -209,6 +213,12 @@ def main():
                         default=None,
                         help="compute dtype (default: the family's measured "
                              "winner; params stay f32 either way)")
+    parser.add_argument("--repeats", type=int, default=1,
+                        help="re-measure N times in-process and report the "
+                             "median windows/sec with the min..max band "
+                             "(PARITY.md's per-family rows use 5; the "
+                             "sensor-family rows drift ~20% day-to-day, so "
+                             "single runs are not citable)")
     parser.add_argument("--augment", action="store_true",
                         help="measure with the canonical augmentation recipe "
                              "on (rotate 15deg, scale 0.1, flip 0.5, jitter "
@@ -249,8 +259,13 @@ def main():
             "augment.scale": 0.1, "augment.flip_prob": 0.5,
             "augment.joint_jitter": 0.01, "augment.sensor_noise": 0.02,
         }
-    r = measure(preset, batch, sensor_dim, num_classes, dtype,
+    reps = [
+        measure(preset, batch, sensor_dim, num_classes, dtype,
                 windows=args.windows, epochs=args.epochs, overrides=overrides)
+        for _ in range(max(1, args.repeats))
+    ]
+    wps = sorted(r["windows_per_sec"] for r in reps)
+    r = {**reps[0], "windows_per_sec": wps[len(wps) // 2]}
     metric = (
         "ur_fall_3stream_train_throughput"
         if args.family == "gstcan3"
@@ -258,18 +273,17 @@ def main():
     )
     if args.augment:
         metric += "_augmented"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": r["windows_per_sec"],
-                "unit": "windows/sec",
-                "vs_baseline": round(
-                    r["windows_per_sec"] / REFERENCE_CPU_WINDOWS_PER_SEC, 2
-                ),
-            }
-        )
-    )
+    line = {
+        "metric": metric,
+        "value": r["windows_per_sec"],
+        "unit": "windows/sec",
+        "vs_baseline": round(
+            r["windows_per_sec"] / REFERENCE_CPU_WINDOWS_PER_SEC, 2
+        ),
+    }
+    if len(wps) > 1:
+        line["spread"] = {"repeats": len(wps), "min": wps[0], "max": wps[-1]}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,64 @@ def musa_arm(mm, cls_name, n_stage, bias, embed_dim=8, classes=5):
     }
 
 
+def ablation1_arm(reference_path, classes=5):
+    """Factorized Ablation1 transformer (``skeleton_transformer.py:
+    437-514``): the round-4 converter close-out (the last interop hole —
+    round 3 raised NotImplementedError here)."""
+    import torch
+
+    import jax.numpy as jnp
+    from fall_multimodal_tpu.configs import load_config, preset_path
+    from fall_multimodal_tpu.interop import torch_to_variables
+    from fall_multimodal_tpu.models import build_model
+
+    print("[arm] SkeletonTransformer_Ablation1 ...", flush=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity_training import _ensure_torchvision_stub
+
+    _ensure_torchvision_stub()
+    spec = importlib.util.spec_from_file_location(
+        "ref_skeleton_transformer",
+        os.path.join(reference_path, "skeleton_transformer.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(0)
+    model = mod.SkeletonTransformer_Ablation1(
+        in_channels=3, n_joints=14, seq_len=30, num_classes=classes,
+        embedding_dim=32, n_block=6, head_dim=16, n_heads=8,
+    )
+    model.eval()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 3, 30, 14, 1)).astype(np.float32)  # (N,C,T,V,M)
+    with torch.no_grad():
+        expected = model(torch.tensor(x)).numpy()
+
+    cfg = load_config(
+        preset_path("skeleton_transformer_harup"),
+        overrides={
+            "model.name": "skeleton_transformer_factorized",
+            "data.num_classes": classes,
+        },
+    )
+    variables = torch_to_variables(cfg, model.state_dict())
+    # ours runs the resident (N, M, T, V, C) layout
+    ours = np.asarray(
+        build_model(cfg).apply(
+            variables,
+            jnp.asarray(np.transpose(x, (0, 4, 2, 3, 1))),
+            None, train=False,
+        )
+    )
+    err = float(np.max(np.abs(ours - expected)))
+    return {
+        "arm": "SkeletonTransformer_Ablation1 n_block=6",
+        "max_abs_err": err,
+        "ok": bool(err < 5e-5),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
@@ -107,6 +165,7 @@ def main():
         musa_arm(mm, "Model", n_stage=1, bias=False),
         musa_arm(mm, "Model", n_stage=3, bias=True),
         musa_arm(mm, "Ablation", n_stage=2, bias=True),
+        ablation1_arm(args.reference),
     ]
     out = os.path.join(os.path.dirname(__file__), "validate_interop_results.json")
     with open(out, "w") as fh:

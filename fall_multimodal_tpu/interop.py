@@ -449,14 +449,43 @@ def _port_skeleton_transformer(sd, p, bs, ours, theirs, n_block):
                    f"{tb}.feed_forward_network.2")
 
 
+def _port_b2t_block(sd, p, blk, tb):
+    """Single-axis ``B2TTransformerBlock`` (``skeleton_transformer.py:
+    291-320``): rel-pos MHSA (the attribute is named
+    ``multi_head_spatial_self_attention`` even in the temporal half —
+    the reference reuses the class with a swapped table size) + two
+    LayerNorms + FFN."""
+    attn = f"{tb}.multi_head_spatial_self_attention"
+    _put_dense(sd, p, blk + ("attn", "w_qkv"), f"{attn}.w_qkv")
+    _put_dense(sd, p, blk + ("attn", "merge"), f"{attn}.merge")
+    p[blk + ("attn", "rel_pos_bias")] = np.asarray(
+        sd[f"{attn}.relative_position_bias_table"])
+    for n in ("norm1", "norm3"):                     # LayerNorm
+        p[blk + (n, "scale")] = np.asarray(sd[f"{tb}.{n}.weight"])
+        p[blk + (n, "bias")] = np.asarray(sd[f"{tb}.{n}.bias"])
+    _put_dense(sd, p, blk + ("ffn", "Dense_0"),
+               f"{tb}.feed_forward_network.0")
+    _put_dense(sd, p, blk + ("ffn", "Dense_1"),
+               f"{tb}.feed_forward_network.2")
+
+
 def _convert_skeleton_transformer(model, config, sd):
-    if model.factorized:
-        raise NotImplementedError(
-            "torch import for the factorized Ablation1 variant is not "
-            "implemented (no reference checkpoints exist for it); use "
-            "model.name='skeleton_transformer'"
-        )
     p, bs = {}, {}
+    if model.factorized:
+        # SkeletonTransformer_Ablation1 (skeleton_transformer.py:437-514):
+        # extractor.{0..n/2-1} spatial B2T blocks, extractor.{n/2} is the
+        # parameterless TransposeAxis, extractor.{n/2+1..n} temporal blocks
+        _put_dense(sd, p, ("embed1",), "embedding.0")
+        _put_dense(sd, p, ("embed2",), "embedding.2")
+        _put_dense(sd, p, ("head",), "fcn.0")
+        half = model.n_block // 2
+        for i in range(half):
+            _port_b2t_block(sd, p, (f"spatial{i}",), f"extractor.{i}")
+        for i in range(half):
+            _port_b2t_block(
+                sd, p, (f"temporal{i}",), f"extractor.{half + 1 + i}"
+            )
+        return p, bs
     _port_skeleton_transformer(sd, p, bs, (), "", model.n_block)
     return p, bs
 
@@ -484,6 +513,7 @@ _CONVERTERS = {
     "musa_ablation": _convert_musa,
     "targcn": _convert_targcn,
     "skeleton_transformer": _convert_skeleton_transformer,
+    "skeleton_transformer_factorized": _convert_skeleton_transformer,
     "transformer_ensemble": _convert_transformer_ensemble,
 }
 

@@ -53,6 +53,7 @@ def cross_validate_vmapped(
     grad_norms: bool = False,
     metrics_factory=None,
     step_metrics_factory=None,
+    scan_epochs: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """K-fold CV with all folds training in one vmapped program.
 
@@ -70,6 +71,19 @@ def cross_validate_vmapped(
     ``metrics_factory(fold_i)`` returns a per-fold ``(epoch, scalars)``
     callback for train/val epoch curves (the ``fit()`` metrics_callback
     contract, one callback per fold of the vmapped program).
+
+    ``scan_epochs`` (default: auto) additionally fuses the EPOCH loop into
+    the device program: one ``lax.scan`` over epochs carries
+    (states, best_states, best_acc) with per-epoch eval + best-state
+    gating on device, so the whole K-fold CV is ONE jit call with a
+    single host round-trip at the end. On this remote-TPU platform the
+    per-epoch host sync is the dominant cost of small-model CV (~0.9 s x
+    epochs x folds for the sensor families), so the fused driver is the
+    default whenever it is expressible: scanned epoch impl and no
+    per-step gradient-norm streaming (epoch curves still come back,
+    stacked as scan outputs). Epoch shuffles are precomputed host-side
+    with the same seeded generator as the per-epoch driver, so the two
+    paths consume identical batch index sequences.
     """
     n_folds = n_folds or config.data.n_folds
     epochs = epochs or config.train.epochs
@@ -220,10 +234,10 @@ def cross_validate_vmapped(
     eval_mask = put_folded(eval_mask)
 
     rng = np.random.default_rng(config.seed)
-    best_acc = np.full(n_folds, -1.0)
-    best_states = states
 
-    for epoch_i in range(1, epochs + 1):
+    def epoch_indices():
+        """One epoch's (n_folds, steps, batch) shuffled index matrix —
+        shared by the fused and per-epoch drivers (identical rng draws)."""
         idx = np.zeros((n_folds, steps, batch), np.int32)
         for k, f in enumerate(folds):
             perm = rng.permutation(f["train"])
@@ -234,6 +248,102 @@ def cross_validate_vmapped(
                 reps = -(-need // len(perm))
                 perm = np.tile(perm, reps)
             idx[k] = perm[:need].reshape(steps, batch)
+        return idx
+
+    if scan_epochs is None:
+        scan_epochs = (
+            impl == "scan"
+            and not grad_norms
+            and step_metrics_factory is None
+        )
+    if scan_epochs and (impl != "scan" or grad_norms
+                        or step_metrics_factory is not None):
+        raise ValueError(
+            "scan_epochs=True needs the scanned epoch impl and no per-step "
+            "gradient-norm streaming (per-step tensors for every epoch "
+            "cannot ride a single scan output)"
+        )
+
+    if scan_epochs:
+        # whole-CV-in-one-jit: scan over epochs carrying
+        # (states, best_states, best_acc); eval + best gating on device.
+        # ONE host round-trip for the entire K-fold run.
+        idx_all = np.stack([epoch_indices() for _ in range(epochs)])
+        if mesh is not None:
+            idx_all = jax.device_put(
+                jnp.asarray(idx_all),
+                NamedSharding(mesh, P(None, mesh.axis_names[0])),
+            )
+        else:
+            idx_all = jnp.asarray(idx_all)
+        eval_counts_j = jnp.asarray(eval_counts, jnp.float32)
+
+        epoch_fold = jax.vmap(fold_epoch, in_axes=(0, None, 0))
+        eval_fold = jax.vmap(fold_eval, in_axes=(0, None, 0, 0))
+
+        def epoch_body(carry, idx_e):
+            states, best_states, best_acc = carry
+            states, tm = epoch_fold(states, dev, idx_e)
+            cms, loss_sums = eval_fold(states, dev, eval_idx, eval_mask)
+            accs = (
+                jnp.diagonal(cms, axis1=-2, axis2=-1).sum(-1)
+                / jnp.maximum(cms.sum((-2, -1)), 1.0)
+            )
+            # same guard as fit()'s fused path: a fold whose training blew
+            # up (NaN loss, constant argmax-0 predictions) must not promote
+            # its state to best
+            gate = (accs > best_acc) & jnp.isfinite(tm["loss"])
+            best_states = jax.tree.map(
+                lambda new, old: jnp.where(
+                    gate.reshape((n_folds,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                states,
+                best_states,
+            )
+            best_acc = jnp.maximum(best_acc, accs)
+            hist = {
+                "train_loss": tm["loss"],
+                "train_accuracy": tm["accuracy"],
+                "val_loss": loss_sums / eval_counts_j,
+                "val_accuracy": accs,
+            }
+            return (states, best_states, best_acc), hist
+
+        @jax.jit
+        def run_all(states, idx_all):
+            init = (states, states, jnp.full((n_folds,), -1.0, jnp.float32))
+            return jax.lax.scan(epoch_body, init, idx_all)
+
+        (states, best_states, best_acc_j), hist = run_all(states, idx_all)
+        hist = {k: np.asarray(v) for k, v in hist.items()}     # (E, K)
+        best_acc = np.asarray(best_acc_j)
+        if metrics_factory is not None:
+            for k in range(n_folds):
+                cb = metrics_factory(k)
+                if cb is None:
+                    continue
+                for e in range(epochs):
+                    cb(e + 1, {
+                        "train_loss": float(hist["train_loss"][e, k]),
+                        "train_accuracy": float(hist["train_accuracy"][e, k]),
+                        "val_loss": float(hist["val_loss"][e, k]),
+                        "val_accuracy": float(hist["val_accuracy"][e, k]),
+                    })
+        if logger:
+            logger.info(
+                f"[vmapped CV, fused] {epochs} epochs x {n_folds} folds in "
+                f"one device program; mean best val acc {best_acc.mean():.4f}"
+            )
+        return _finalize(
+            best_states, best_acc, eval_vm, dev, eval_idx, eval_mask,
+            folds, n_folds,
+        )
+
+    best_acc = np.full(n_folds, -1.0)
+    best_states = states
+
+    for epoch_i in range(1, epochs + 1):
+        idx = epoch_indices()
         states, tm = epoch_vm(states, dev, put_folded(idx))
         per_step_norms = tm.pop("grad_norms", None)
         if per_step_norms is not None and step_metrics_factory is not None:
@@ -283,7 +393,16 @@ def cross_validate_vmapped(
                 f"mean val acc {accs.mean():.4f} (best {best_acc.mean():.4f})"
             )
 
-    # final per-fold test metrics from the best states
+    return _finalize(
+        best_states, best_acc, eval_vm, dev, eval_idx, eval_mask,
+        folds, n_folds,
+    )
+
+
+def _finalize(best_states, best_acc, eval_vm, dev, eval_idx, eval_mask,
+              folds, n_folds):
+    """Final per-fold test metrics from the best states (shared tail of the
+    fused and per-epoch drivers)."""
     cms, loss_sums = eval_vm(best_states, dev, eval_idx, eval_mask)
     per_fold = []
     for k, f in enumerate(folds):

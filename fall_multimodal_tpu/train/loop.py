@@ -333,12 +333,27 @@ def fit(
     epoch_impl: str = "scan",
     mesh=None,
     augment_fn=None,
+    scan_epochs: Optional[bool] = None,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
     Capability of the reference ``run()`` (``main.py:253-348``): best-model
     tracking on validation accuracy, resumable state, final reload-best-then
     -test. Host work per epoch is one shuffle-key fold and a few scalars.
+
+    ``scan_epochs`` (default: auto) fuses the WHOLE run — every epoch's
+    shuffle, train scan, eval, and best-state gating — into one jitted
+    ``lax.scan`` over epochs with a single host round-trip at the end.
+    On this remote-TPU platform the per-epoch host sync costs ~0.3-0.9 s,
+    which dominates small-model training (a 100-epoch sensor-family fold
+    spends more time syncing than computing). Auto-enables when every
+    requested capability is expressible on device: scanned epoch impl, no
+    checkpointer (it writes per epoch), no per-epoch callbacks, no
+    grad-norm streaming. Epoch curves still come back (stacked scan
+    outputs). Semantics vs the per-epoch loop: identical shuffles (same
+    per-epoch key folds) and identical math up to XLA scheduling; the NaN
+    guard becomes post-hoc (a NaN epoch can no longer break the loop
+    early, but best-state tracking ignores NaN epochs the same way).
 
     ``mesh``: a 1-D ``jax.sharding.Mesh`` turns the whole run data-parallel —
     state (and restored best state) replicated, splits replicated in each
@@ -377,6 +392,116 @@ def fit(
     # final test, main.py:344).
     best_state = initial_best_state if initial_best_state is not None else state
     best_acc = initial_best_acc
+
+    resolved_impl = epoch_impl
+    if resolved_impl == "auto":
+        resolved_impl = "host" if jax.default_backend() == "cpu" else "scan"
+    if scan_epochs is None:
+        scan_epochs = (
+            resolved_impl == "scan"
+            and checkpointer is None
+            and metrics_callback is None
+            and step_metrics_callback is None
+            and not grad_norms
+        )
+    if scan_epochs and (
+        resolved_impl != "scan" or checkpointer is not None
+        or metrics_callback is not None or step_metrics_callback is not None
+        or grad_norms
+    ):
+        raise ValueError(
+            "scan_epochs=True fuses the epoch loop on device — it needs the "
+            "scanned epoch impl and cannot run per-epoch host work "
+            "(checkpointer / metrics callbacks / grad-norm streaming)"
+        )
+
+    if scan_epochs:
+        valid = splits["valid"]
+        vidx = jnp.asarray(eval_batch_indices(valid.n, batch_size))
+        vmask = jnp.asarray(eval_batch_mask(valid.n, batch_size), jnp.float32)
+        train_data = splits["train"]
+
+        def _epoch_body(carry, epoch_i):
+            st, best_st, best = carry
+            ekey = jax.random.fold_in(shuffle_key, epoch_i)
+            idx = epoch_batch_indices(ekey, train_data.n, batch_size, drop_last)
+            st, tm = train_epoch(st, train_data, idx)
+            cm, loss_sum = eval_epoch(st, valid, vidx, vmask)
+            acc = jnp.diagonal(cm).sum() / jnp.maximum(cm.sum(), 1.0)
+            # NaN params degrade to constant argmax-0 predictions whose
+            # accuracy is NOT NaN — gate best tracking on a finite train
+            # loss so a blown-up epoch can never be promoted to best (the
+            # per-epoch guard would have stopped before evaluating it)
+            improved = (acc > best) & jnp.isfinite(tm["loss"])
+            best_st = jax.tree.map(
+                lambda new, old: jnp.where(improved, new, old), st, best_st
+            )
+            best = jnp.maximum(best, acc)
+            return (st, best_st, best), {
+                "train_loss": tm["loss"],
+                "train_acc": tm["accuracy"],
+                "val_loss": loss_sum / valid.n,
+                "val_acc": acc,
+            }
+
+        @jax.jit
+        def _run_epochs(st, best_st, best):
+            return jax.lax.scan(
+                _epoch_body, (st, best_st, best),
+                jnp.arange(start_epoch, epochs + 1),
+            )
+
+        t0 = time.perf_counter()
+        (state, best_state, best_acc_j), hist = _run_epochs(
+            state, best_state, jnp.asarray(best_acc, jnp.float32)
+        )
+        hist = {k: np.asarray(v) for k, v in hist.items()}  # sync + flush
+        dt_total = time.perf_counter() - t0
+        best_acc = float(best_acc_j)
+        n_run = len(hist["train_loss"])
+        for k in ("train_loss", "train_acc", "val_loss", "val_acc"):
+            history[k] = [float(x) for x in hist[k]]
+        history["epoch_time"] = [dt_total / max(n_run, 1)] * n_run
+        if nan_guard and n_run and not np.isfinite(hist["train_loss"]).all():
+            # reproduce the per-epoch guard's observable contract: history
+            # truncated at the first non-finite epoch (train_loss keeps the
+            # offending entry, the other series end one earlier) and the
+            # best state from before the blow-up is kept. The fused program
+            # has already run to completion — only the wasted epochs differ.
+            first_bad = int(np.argmax(~np.isfinite(hist["train_loss"])))
+            history["train_loss"] = history["train_loss"][: first_bad + 1]
+            for k in ("train_acc", "val_loss", "val_acc", "epoch_time"):
+                history[k] = history[k][:first_bad]
+            if logger:
+                logger.error(
+                    f"non-finite train loss at epoch "
+                    f"{start_epoch + first_bad}; stopping and keeping the "
+                    f"best state (val acc {best_acc:.4f}) "
+                    f"[fused epoch scan: detected post-hoc]"
+                )
+        elif logger:
+            for e in range(n_run):
+                epoch_abs = start_epoch + e
+                if epoch_abs % log_every == 0 or epoch_abs == epochs:
+                    logger.info(
+                        f"epoch {epoch_abs}/{epochs} "
+                        f"train loss {history['train_loss'][e]:.4f} "
+                        f"acc {history['train_acc'][e]:.4f} | "
+                        f"val loss {history['val_loss'][e]:.4f} "
+                        f"acc {history['val_acc'][e]:.4f} "
+                        f"| {dt_total / max(n_run, 1):.2f}s (fused)"
+                    )
+
+        test = None
+        if "test" in splits and splits["test"].n > 0:
+            test = evaluate(eval_epoch, best_state, splits["test"], batch_size)
+        return FitResult(
+            state=state,
+            best_state=best_state,
+            best_val_accuracy=float(best_acc),
+            history=history,
+            test=test,
+        )
 
     for epoch_i in range(start_epoch, epochs + 1):
         t0 = time.perf_counter()

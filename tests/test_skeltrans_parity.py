@@ -46,6 +46,37 @@ def test_skeleton_transformer_full_model_matches_reference():
     np.testing.assert_allclose(ours, expected, atol=3e-5)
 
 
+def test_factorized_ablation1_full_model_matches_reference():
+    """Ablation1 (all-spatial then all-temporal B2T blocks,
+    ``skeleton_transformer.py:437-514``) through the round-4 converter —
+    fixture generated from the live reference (embedding_dim=16,
+    n_block=2, head_dim=4, n_heads=2, 11 classes)."""
+    g = np.load(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "reference_skeltrans_ablation1.npz")
+    )
+    x_ref = np.asarray(g["x"])                      # (N, C, T, V, M)
+    expected = np.asarray(g["out"])
+    sd = {k: g[k] for k in g.files if k not in ("x", "out")}
+
+    cfg = load_config(
+        preset_path("default"),
+        overrides={
+            "model.name": "skeleton_transformer_factorized",
+            "data.num_classes": 11,
+            "model.kwargs": {
+                "embedding_dim": 16, "n_block": 2, "head_dim": 4, "n_heads": 2,
+            },
+        },
+    )
+    variables = torch_to_variables(cfg, sd)         # validates keys + shapes
+
+    model = build_model(cfg)
+    x = jnp.asarray(np.transpose(x_ref, (0, 4, 2, 3, 1)))
+    ours = np.asarray(model.apply(variables, x, None, train=False))
+    np.testing.assert_allclose(ours, expected, atol=3e-5)
+
+
 def test_relpos_mhsa_attends_over_second_to_last_axis(rng):
     x = jnp.asarray(rng.normal(size=(2, 1, 5, 14, 16)).astype(np.float32))
     mod = RelPosMHSA(head_dim=4, n_heads=2, seq_len=14)

@@ -134,6 +134,43 @@ def test_host_epoch_matches_scanned_epoch():
     assert all(v.shape == (steps,) for v in m_gn["grad_norms"].values())
 
 
+def test_fit_fused_epoch_scan_matches_per_epoch_loop():
+    """fit(scan_epochs=True) — the whole run (shuffles, train epochs, eval,
+    best gating) as ONE lax.scan program — must reproduce the per-epoch
+    driver's curves, best tracking, and test metrics (identical per-epoch
+    key folds; only XLA scheduling differs)."""
+    from fall_multimodal_tpu.train.cv import run_fold
+
+    splits = _device_splits(3, 6, n=160)
+    results = {}
+    for impl, scan_epochs in (("host", False), ("scan", None)):
+        cfg = load_config(
+            preset_path("bilstm"),
+            overrides={"data.num_classes": 3, "train.epoch_impl": impl},
+        )
+        results[impl] = run_fold(cfg, splits, epochs=6)
+    a, b = results["host"], results["scan"]
+    np.testing.assert_allclose(a.history["val_acc"], b.history["val_acc"],
+                               atol=1e-5)
+    np.testing.assert_allclose(a.history["train_loss"],
+                               b.history["train_loss"], rtol=1e-4)
+    assert a.best_val_accuracy == pytest.approx(b.best_val_accuracy, abs=1e-5)
+    assert float(a.test.stats["accuracy"]) == pytest.approx(
+        float(b.test.stats["accuracy"]), abs=1e-5)
+
+    # requesting the fused path alongside per-epoch host work is a loud error
+    cfg = load_config(preset_path("bilstm"),
+                      overrides={"data.num_classes": 3})
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(model, optimizer, splits["train"].features[:2],
+                               splits["train"].sensors[:2], seed=0)
+    with pytest.raises(ValueError):
+        fit(model, optimizer, state, splits, epochs=1, batch_size=32,
+            num_classes=3, scan_epochs=True, grad_norms=True,
+            epoch_impl="scan")
+
+
 def test_evaluate_confusion_consistency():
     cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
     splits = _device_splits(3, 6, n=96)
