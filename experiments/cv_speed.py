@@ -42,13 +42,22 @@ FAMILIES = {
 }
 
 
-def run_arm(arm, cfg, data, folds, epochs):
+def run_arm(arm, cfg, data, folds, epochs, scan_chunk=None):
     from fall_multimodal_tpu.train.cv import cross_validate
     from fall_multimodal_tpu.train.cv_vmapped import cross_validate_vmapped
 
-    fn = cross_validate if arm == "sequential" else cross_validate_vmapped
+    kwargs = {}
+    if arm == "sequential":
+        fn = cross_validate
+    else:
+        fn = cross_validate_vmapped
+        if scan_chunk:
+            # bound the single-device-call duration: one giant fused
+            # execution (10 flagship folds x 100 epochs, ~15 min) crashed
+            # the axon TPU worker; ~100 s calls run reliably
+            kwargs["scan_epochs"] = scan_chunk
     t0 = time.perf_counter()
-    out = fn(cfg, data, n_folds=folds, epochs=epochs)
+    out = fn(cfg, data, n_folds=folds, epochs=epochs, **kwargs)
     dt = time.perf_counter() - t0
     return out, dt
 
@@ -69,6 +78,9 @@ def main():
     parser.add_argument("--repeats", type=int, default=2,
                         help="invocations per arm (first = cold, "
                              "rest aggregate into warm)")
+    parser.add_argument("--scan-chunk", type=int, default=None,
+                        help="vmapped arm: epochs per fused device call "
+                             "(bounds execution duration for big models)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -95,7 +107,8 @@ def main():
         times = []
         out = None
         for rep in range(args.repeats):
-            out, dt = run_arm(arm, cfg, data, args.folds, args.epochs)
+            out, dt = run_arm(arm, cfg, data, args.folds, args.epochs,
+                              scan_chunk=args.scan_chunk)
             times.append(round(dt, 2))
             print(f"{arm} rep{rep}: {dt:.1f}s "
                   f"acc {out['summary']['test_accuracy_mean']:.4f}",

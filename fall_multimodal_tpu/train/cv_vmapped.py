@@ -21,7 +21,7 @@ ceil(K/D) fold-time. Works with any K divisible by D.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +53,7 @@ def cross_validate_vmapped(
     grad_norms: bool = False,
     metrics_factory=None,
     step_metrics_factory=None,
-    scan_epochs: Optional[bool] = None,
+    scan_epochs: Union[bool, int, None] = None,
 ) -> Dict[str, Any]:
     """K-fold CV with all folds training in one vmapped program.
 
@@ -267,7 +267,14 @@ def cross_validate_vmapped(
     if scan_epochs:
         # whole-CV-in-one-jit: scan over epochs carrying
         # (states, best_states, best_acc); eval + best gating on device.
-        # ONE host round-trip for the entire K-fold run.
+        # ONE host round-trip for the entire K-fold run — or, when
+        # ``scan_epochs`` is an int N, one per N-epoch chunk: a single
+        # device execution lasting many minutes can crash this platform's
+        # TPU worker (observed: 10 vmapped flagship folds x 100 fused
+        # epochs, one ~15-minute execution, worker killed mid-run, while
+        # ~100 s executions run reliably), so big models bound the
+        # per-call duration with a chunk size and pay one sync per chunk.
+        chunk = epochs if scan_epochs is True else max(1, int(scan_epochs))
         idx_all = np.stack([epoch_indices() for _ in range(epochs)])
         if mesh is not None:
             idx_all = jax.device_put(
@@ -310,12 +317,23 @@ def cross_validate_vmapped(
             return (states, best_states, best_acc), hist
 
         @jax.jit
-        def run_all(states, idx_all):
-            init = (states, states, jnp.full((n_folds,), -1.0, jnp.float32))
-            return jax.lax.scan(epoch_body, init, idx_all)
+        def run_chunk(carry, idx_chunk):
+            return jax.lax.scan(epoch_body, carry, idx_chunk)
 
-        (states, best_states, best_acc_j), hist = run_all(states, idx_all)
-        hist = {k: np.asarray(v) for k, v in hist.items()}     # (E, K)
+        carry = (states, states, jnp.full((n_folds,), -1.0, jnp.float32))
+        hists = []
+        for s in range(0, epochs, chunk):
+            carry, h = run_chunk(carry, idx_all[s : s + chunk])
+            if chunk < epochs:
+                # chunked mode syncs once per chunk anyway — flush the
+                # history here so the device call's outputs stay small
+                h = {k: np.asarray(v) for k, v in h.items()}
+            hists.append(h)
+        states, best_states, best_acc_j = carry
+        hist = {
+            k: np.concatenate([np.asarray(h[k]) for h in hists])
+            for k in hists[0]
+        }                                                       # (E, K)
         best_acc = np.asarray(best_acc_j)
         if metrics_factory is not None:
             for k in range(n_folds):

@@ -10,7 +10,7 @@ matrix on device; only final scalars land on host.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -333,7 +333,7 @@ def fit(
     epoch_impl: str = "scan",
     mesh=None,
     augment_fn=None,
-    scan_epochs: Optional[bool] = None,
+    scan_epochs: Union[bool, int, None] = None,
 ) -> FitResult:
     """Epoch driver: train -> valid (track best) -> final test on best.
 
@@ -445,17 +445,33 @@ def fit(
             }
 
         @jax.jit
-        def _run_epochs(st, best_st, best):
-            return jax.lax.scan(
-                _epoch_body, (st, best_st, best),
-                jnp.arange(start_epoch, epochs + 1),
-            )
+        def _run_chunk(carry, epoch_nums):
+            return jax.lax.scan(_epoch_body, carry, epoch_nums)
+
+        # scan_epochs=int bounds the single-device-call duration (a
+        # many-minute execution can crash this platform's TPU worker —
+        # see cross_validate_vmapped); True = the whole run in one call
+        n_epochs = epochs - start_epoch + 1
+        chunk = n_epochs if scan_epochs is True else max(1, int(scan_epochs))
+        epoch_nums = np.arange(start_epoch, epochs + 1)
 
         t0 = time.perf_counter()
-        (state, best_state, best_acc_j), hist = _run_epochs(
-            state, best_state, jnp.asarray(best_acc, jnp.float32)
-        )
-        hist = {k: np.asarray(v) for k, v in hist.items()}  # sync + flush
+        carry = (state, best_state, jnp.asarray(best_acc, jnp.float32))
+        hists = []
+        for s in range(0, n_epochs, chunk):
+            carry, h = _run_chunk(carry, jnp.asarray(epoch_nums[s : s + chunk]))
+            if chunk < n_epochs:
+                h = {k: np.asarray(v) for k, v in h.items()}
+            hists.append(h)
+        state, best_state, best_acc_j = carry
+        if hists:
+            hist = {
+                k: np.concatenate([np.asarray(h[k]) for h in hists])
+                for k in hists[0]
+            }
+        else:  # resume already complete (start_epoch > epochs)
+            hist = {k: np.zeros((0,)) for k in
+                    ("train_loss", "train_acc", "val_loss", "val_acc")}
         dt_total = time.perf_counter() - t0
         best_acc = float(best_acc_j)
         n_run = len(hist["train_loss"])

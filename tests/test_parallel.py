@@ -229,6 +229,16 @@ def test_vmapped_cv_fused_epoch_scan_matches_per_epoch_driver():
     for fold_i, vals in curves["per_epoch"].items():
         assert curves["fused"][fold_i] == pytest.approx(vals, abs=1e-5)
 
+    # chunked fused mode (scan_epochs=int, bounding single-device-call
+    # duration) must match the all-epochs fused run fold for fold
+    chunked = cross_validate_vmapped(cfg, data, n_folds=3, epochs=3,
+                                     scan_epochs=2)
+    for a, b in zip(fused["folds"], chunked["folds"]):
+        assert a["test_accuracy"] == pytest.approx(b["test_accuracy"],
+                                                   abs=1e-5)
+        assert a["val_accuracy"] == pytest.approx(b["val_accuracy"],
+                                                  abs=1e-5)
+
     # fused + per-step grad-norm streaming is not expressible — loud error
     with pytest.raises(ValueError):
         cross_validate_vmapped(cfg, data, n_folds=3, epochs=1,

@@ -149,6 +149,22 @@ def test_fit_fused_epoch_scan_matches_per_epoch_loop():
             overrides={"data.num_classes": 3, "train.epoch_impl": impl},
         )
         results[impl] = run_fold(cfg, splits, epochs=6)
+    # chunked fused mode (scan_epochs=int bounds the single-device-call
+    # duration — the remote TPU worker dies on many-minute executions)
+    # must be epoch-for-epoch identical to the all-epochs fused run
+    cfg = load_config(preset_path("bilstm"),
+                      overrides={"data.num_classes": 3})
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(model, optimizer, splits["train"].features[:2],
+                               splits["train"].sensors[:2], seed=0)
+    chunked = fit(model, optimizer, state, splits, epochs=6, batch_size=32,
+                  num_classes=3, epoch_impl="scan", scan_epochs=2)
+    fused_all = fit(model, optimizer, state, splits, epochs=6, batch_size=32,
+                    num_classes=3, epoch_impl="scan", scan_epochs=True)
+    np.testing.assert_allclose(
+        fused_all.history["val_acc"], chunked.history["val_acc"], atol=1e-5)
+
     a, b = results["host"], results["scan"]
     np.testing.assert_allclose(a.history["val_acc"], b.history["val_acc"],
                                atol=1e-5)
