@@ -78,15 +78,46 @@ def main():
                 for k, v in grid.items()}
 
     logger = create_logger(output_dir=None, name="grid48")
-    t0 = time.perf_counter()
-    rows = grid_search(cfg, data, grid, epochs=args.epochs, logger=logger)
-    wall = time.perf_counter() - t0
 
+    # drive the library grid point-by-point (1-point grids through the
+    # real grid_search path) so the artifact is incremental and a
+    # transient axon remote-compile failure ("response body closed") only
+    # costs a retried point, not the whole sweep — a full run died at
+    # point 29/48 on exactly that
+    import itertools
+
+    keys = list(grid)
+    points = [dict(zip(keys, vs))
+              for vs in itertools.product(*(grid[k] for k in keys))]
     csv_path = os.path.join(HERE, "grid48_results.csv")
-    with open(csv_path, "w", newline="") as fh:
-        w = csv.DictWriter(fh, fieldnames=list(rows[0]))
-        w.writeheader()
-        w.writerows(rows)
+    rows = []
+    t0 = time.perf_counter()
+    for pt in points:
+        last_err = None
+        for attempt in range(3):
+            try:
+                row = grid_search(
+                    cfg, data, {k: [v] for k, v in pt.items()},
+                    epochs=args.epochs, logger=logger,
+                )[0]
+                break
+            except Exception as e:  # noqa: BLE001 - transient tunnel faults
+                last_err = e
+                logger.warning(f"point {pt} attempt {attempt}: {e}")
+        else:
+            raise last_err
+        row.pop("rank", None)          # rank is global; re-derived below
+        rows.append(row)
+        # global rank by val accuracy over the rows so far
+        order = sorted(range(len(rows)),
+                       key=lambda i: -(rows[i]["val_accuracy"] or 0))
+        for rank, i in enumerate(order):
+            rows[i]["rank"] = rank + 1
+        with open(csv_path, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+    wall = time.perf_counter() - t0
 
     best = min(rows, key=lambda r: r["rank"])
     payload = {
