@@ -136,6 +136,7 @@ class B2TSpatialTemporalBlock(nn.Module):
     ffn_dropout: float = 0.5
     normalization: str = "batchnorm"
     sd_rate: float = 0.0
+    attn_impl: str = "resident"  # "resident" (axis=-3) | "swap"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -154,14 +155,36 @@ class B2TSpatialTemporalBlock(nn.Module):
         out = x + sd(spatial(x), train)
         out = norm("norm1", out)
 
-        # temporal attention over T directly in the (..., T, V, C) layout
-        # (axis=-3) — no transposes; norms are channel-wise, so the
-        # reference's swap -> attend -> swap is numerically identical
-        temporal = RelPosMHSA(
-            self.head_dim, self.n_heads, self.seq_len, axis=-3,
-            name="temporal_attn",
-        )
-        out = out + sd(temporal(out), train)
+        # temporal attention over T. Two weight-identical implementations
+        # (the round-4 profiler trace showed 43% of the train step in
+        # layout-conversion copies of the attention intermediates, so the
+        # layout-driving einsum form is an empirical knob, not a style
+        # choice — experiments/transformer_attn_variants.py measures both):
+        # * "resident": attend over axis=-3 directly in (..., T, V, C) —
+        #   no transposes in the HLO, XLA picks every layout;
+        # * "swap": reference-style swapaxes -> axis=-2 attention -> swap
+        #   back — the transposes are explicit (..., V, T, C) copies on
+        #   lane-aligned C=128 tensors instead of XLA's implicit relayouts
+        #   of the (..., H, T, T) logits monsters.
+        if self.attn_impl == "swap":
+            temporal = RelPosMHSA(
+                self.head_dim, self.n_heads, self.seq_len,
+                name="temporal_attn",
+            )
+            t_out = jnp.swapaxes(
+                temporal(jnp.swapaxes(out, -3, -2)), -3, -2
+            )
+        elif self.attn_impl == "resident":
+            temporal = RelPosMHSA(
+                self.head_dim, self.n_heads, self.seq_len, axis=-3,
+                name="temporal_attn",
+            )
+            t_out = temporal(out)
+        else:
+            raise ValueError(
+                f"attn_impl must be resident|swap, got {self.attn_impl!r}"
+            )
+        out = out + sd(t_out, train)
         out = norm("norm2", out)
 
         ffn = FFN(self.ffn_expand, self.ffn_dropout, name="ffn")
@@ -276,6 +299,7 @@ class SkeletonTransformer(nn.Module):
     head_dim: int = 16
     n_heads: int = 8
     factorized: bool = False  # Ablation1: all-spatial then all-temporal
+    attn_impl: str = "resident"  # temporal-attention layout variant
 
     @nn.compact
     def __call__(self, skeleton, sensor=None, train: bool = False):
@@ -299,6 +323,7 @@ class SkeletonTransformer(nn.Module):
                     seq_len=self.seq_len,
                     normalization="batchnorm",
                     sd_rate=float(sd_rates[i]),
+                    attn_impl=self.attn_impl,
                     name=f"block{i}",
                 )(y, train=train)
         else:

@@ -89,3 +89,23 @@ def test_relpos_mhsa_attends_over_second_to_last_axis(rng):
     np.testing.assert_allclose(
         np.asarray(out[:, :, perm]), np.asarray(out_perm), atol=1e-5
     )
+
+
+def test_attn_impl_swap_matches_resident(rng):
+    """The two temporal-attention layout variants (resident axis=-3 vs
+    reference-style swapaxes) are weight-identical and numerically equal —
+    attn_impl is a pure layout/performance knob
+    (experiments/transformer_attn_variants.py measures which wins)."""
+    from fall_multimodal_tpu.models.skeleton_transformer import (
+        SkeletonTransformer,
+    )
+
+    x = jnp.asarray(rng.normal(size=(4, 30, 14, 3)).astype(np.float32))
+    kw = dict(num_classes=5, embedding_dim=16, n_block=2, head_dim=4,
+              n_heads=2)
+    m1 = SkeletonTransformer(**kw)
+    m2 = SkeletonTransformer(**kw, attn_impl="swap")
+    v = m1.init(jax.random.key(0), x, None, train=False)
+    o1 = m1.apply(v, x, None, train=False)
+    o2 = m2.apply(v, x, None, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
