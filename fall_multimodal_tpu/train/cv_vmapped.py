@@ -33,7 +33,11 @@ from fall_multimodal_tpu.data import kfold_indices, to_device
 from fall_multimodal_tpu.data.pipeline import DeviceData, gather_batch
 from fall_multimodal_tpu.data.synthetic import WindowedDataset
 from fall_multimodal_tpu.models import build_model
-from fall_multimodal_tpu.train.loop import cross_entropy_per_sample, make_train_step
+from fall_multimodal_tpu.train.loop import (
+    cross_entropy_per_sample,
+    equal_chunk,
+    make_train_step,
+)
 from fall_multimodal_tpu.train.metrics import prf_from_confusion
 from fall_multimodal_tpu.train.optim import build_optimizer
 from fall_multimodal_tpu.train.state import TrainState, create_train_state
@@ -275,6 +279,7 @@ def cross_validate_vmapped(
         # ~100 s executions run reliably), so big models bound the
         # per-call duration with a chunk size and pay one sync per chunk.
         chunk = epochs if scan_epochs is True else max(1, int(scan_epochs))
+        chunk = equal_chunk(epochs, chunk)
         idx_all = np.stack([epoch_indices() for _ in range(epochs)])
         if mesh is not None:
             idx_all = jax.device_put(
@@ -307,7 +312,9 @@ def cross_validate_vmapped(
                 states,
                 best_states,
             )
-            best_acc = jnp.maximum(best_acc, accs)
+            # same gate for the scalar: a blown-up fold's degenerate
+            # accuracy must not inflate the reported per-fold best either
+            best_acc = jnp.where(gate, accs, best_acc)
             hist = {
                 "train_loss": tm["loss"],
                 "train_accuracy": tm["accuracy"],
@@ -394,7 +401,10 @@ def cross_validate_vmapped(
                     "val_loss": float(val_loss[k]),
                     "val_accuracy": float(accs[k]),
                 })
-        improved = accs > best_acc
+        # same contract as the fused driver's gate: a fold whose training
+        # blew up (NaN loss, constant argmax-0 predictions) must not promote
+        # its state or inflate its reported best accuracy
+        improved = (accs > best_acc) & np.isfinite(np.asarray(tm["loss"]))
         if improved.any():
             gate = jnp.asarray(improved)
             best_states = jax.tree.map(
@@ -404,7 +414,7 @@ def cross_validate_vmapped(
                 states,
                 best_states,
             )
-            best_acc = np.maximum(best_acc, accs)
+            best_acc = np.where(improved, accs, best_acc)
         if logger and epoch_i % 10 == 0:
             logger.info(
                 f"[vmapped CV] epoch {epoch_i}/{epochs} "

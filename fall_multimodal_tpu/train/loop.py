@@ -298,6 +298,25 @@ def evaluate(
     )
 
 
+def equal_chunk(n: int, chunk: int) -> int:
+    """Largest chunk size <= ``chunk`` that divides ``n`` exactly.
+
+    The fused epoch drivers split an ``n``-epoch scan into chunks to bound
+    the single-device-call duration; every distinct chunk length is a
+    distinct XLA program shape (a multi-minute compile on this platform).
+    Rounding the requested chunk down to a divisor of ``n`` makes every
+    call the same length, so exactly one program compiles — e.g. 100
+    epochs with a requested chunk of 33 runs as 4 calls of 25 instead of
+    33+33+33+1 (two compiles, one of them for a single-epoch tail).
+    """
+    if n <= 0:
+        return max(1, chunk)
+    chunk = max(1, min(chunk, n))
+    while n % chunk:
+        chunk -= 1
+    return chunk
+
+
 class FitResult(NamedTuple):
     state: TrainState
     best_state: TrainState
@@ -417,6 +436,14 @@ def fit(
 
     if scan_epochs:
         valid = splits["valid"]
+        if valid.n == 0:
+            # the per-epoch path fails loudly via evaluate() on epoch 1; the
+            # fused path would otherwise divide by zero and run the whole
+            # program producing NaN curves — fail identically up front
+            raise ValueError(
+                "evaluate() got an empty split (0 windows) — the dataset is "
+                "too small for the configured split fractions / fold count"
+            )
         vidx = jnp.asarray(eval_batch_indices(valid.n, batch_size))
         vmask = jnp.asarray(eval_batch_mask(valid.n, batch_size), jnp.float32)
         train_data = splits["train"]
@@ -436,7 +463,10 @@ def fit(
             best_st = jax.tree.map(
                 lambda new, old: jnp.where(improved, new, old), st, best_st
             )
-            best = jnp.maximum(best, acc)
+            # same gate for the scalar: a NaN-blown epoch's degenerate
+            # constant predictions must not inflate best_val_accuracy either
+            # (the state promotion above already refuses them)
+            best = jnp.where(improved, acc, best)
             return (st, best_st, best), {
                 "train_loss": tm["loss"],
                 "train_acc": tm["accuracy"],
@@ -453,6 +483,7 @@ def fit(
         # see cross_validate_vmapped); True = the whole run in one call
         n_epochs = epochs - start_epoch + 1
         chunk = n_epochs if scan_epochs is True else max(1, int(scan_epochs))
+        chunk = equal_chunk(n_epochs, chunk)
         epoch_nums = np.arange(start_epoch, epochs + 1)
 
         t0 = time.perf_counter()

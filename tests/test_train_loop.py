@@ -267,3 +267,43 @@ def test_grad_norm_observability():
     assert np.isfinite(vals).all() and (vals > 0).any()
     # epoch-level scalars unaffected by the grad_norms side channel
     assert np.isfinite(result.history["train_loss"]).all()
+
+
+def test_equal_chunk_single_program_shape():
+    """ADVICE r4: chunked fused mode must not pay a second XLA compile for a
+    ragged tail — the chunk size is rounded down to a divisor of n_epochs so
+    every device call has one program shape (loop.py equal_chunk)."""
+    from fall_multimodal_tpu.train.loop import equal_chunk
+
+    assert equal_chunk(100, 33) == 25          # 33,33,33,1 -> 25x4
+    assert equal_chunk(100, 25) == 25          # already a divisor
+    assert equal_chunk(6, 2) == 2
+    assert equal_chunk(7, 3) == 1              # prime: per-epoch calls
+    assert equal_chunk(10, 100) == 10          # clamped to n
+    assert equal_chunk(0, 5) == 5              # degenerate resume-complete
+    for n in range(1, 50):
+        for c in range(1, n + 1):
+            s = equal_chunk(n, c)
+            assert 1 <= s <= c and n % s == 0
+
+
+def test_fused_empty_valid_split_raises_clearly():
+    """ADVICE r4: the fused path must fail loudly on an empty valid split
+    (matching evaluate()), not silently produce NaN curves."""
+    cfg = load_config(preset_path("bilstm"), overrides={"data.num_classes": 3})
+    splits = _device_splits(3, 6, n=96)
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    state = create_train_state(
+        model, optimizer, splits["train"].features[:2],
+        splits["train"].sensors[:2]
+    )
+    empty = splits["valid"]._replace(
+        features=splits["valid"].features[:0],
+        sensors=splits["valid"].sensors[:0],
+        labels=splits["valid"].labels[:0],
+    )
+    splits = dict(splits, valid=empty)
+    with pytest.raises(ValueError, match="empty split"):
+        fit(model, optimizer, state, splits, epochs=1, batch_size=32,
+            num_classes=3, epoch_impl="scan", scan_epochs=True)
