@@ -117,10 +117,11 @@ def run_arm(pred: Predictor, coalesce: bool, clients: int,
         t.join()
     wall = time.perf_counter() - t0
     stats = srv.batcher.stats()
+    timings = srv.batcher.drain_timings()
     srv.close()
     arr = np.asarray(lat)
     n = clients * requests_per_client
-    return {
+    row = {
         "coalesce": coalesce,
         "clients": clients,
         "requests": n,
@@ -130,6 +131,22 @@ def run_arm(pred: Predictor, coalesce: bool, clients: int,
         "device_calls": stats["device_calls"],
         "max_coalesced_requests": stats["max_coalesced_requests"],
     }
+    if timings:
+        # tail attribution: split the server-side request time into queue
+        # wait (enqueue -> dispatcher took the batch) and device service
+        # (batch taken -> forward done). Client p99 minus these is HTTP +
+        # thread-scheduling overhead on this 1-core box.
+        qw = np.asarray([t[0] for t in timings])
+        sv = np.asarray([t[1] for t in timings])
+        row["queue_wait_ms"] = {
+            "p50": round(float(np.percentile(qw, 50)), 1),
+            "p99": round(float(np.percentile(qw, 99)), 1),
+        }
+        row["service_ms"] = {
+            "p50": round(float(np.percentile(sv, 50)), 1),
+            "p99": round(float(np.percentile(sv, 99)), 1),
+        }
+    return row
 
 
 def main():

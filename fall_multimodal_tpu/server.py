@@ -41,6 +41,8 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
@@ -54,7 +56,8 @@ _MAX_BODY = 256 * 1024 * 1024  # refuse absurd request bodies outright
 class _Pending:
     """One enqueued request: input windows, a done event, and a result slot."""
 
-    __slots__ = ("skeleton", "sensor", "done", "proba", "error")
+    __slots__ = ("skeleton", "sensor", "done", "proba", "error",
+                 "t_enqueue", "queue_wait_ms", "service_ms")
 
     def __init__(self, skeleton: np.ndarray, sensor: Optional[np.ndarray]):
         self.skeleton = skeleton
@@ -62,6 +65,9 @@ class _Pending:
         self.done = threading.Event()
         self.proba: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
+        self.t_enqueue = time.perf_counter()
+        self.queue_wait_ms = 0.0   # enqueue -> dispatcher took the batch
+        self.service_ms = 0.0      # batch taken -> forward done
 
 
 class RequestBatcher:
@@ -89,6 +95,11 @@ class RequestBatcher:
         self._device_calls = 0
         self._requests = 0
         self._max_coalesced = 0
+        # per-request (queue_wait_ms, service_ms) of the most recent
+        # requests, for tail-latency attribution (experiments/
+        # serve_concurrency.py splits client p99 into queue wait vs
+        # device service vs HTTP/scheduling overhead)
+        self._timings: deque = deque(maxlen=8192)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -134,6 +145,15 @@ class RequestBatcher:
                 "max_coalesced_requests": self._max_coalesced,
             }
 
+    def drain_timings(self) -> List[tuple]:
+        """Pop the recorded per-request (queue_wait_ms, service_ms) pairs
+        (most recent 8192). In-process observability for load tests; not
+        exposed over HTTP."""
+        with self._cond:
+            out = list(self._timings)
+            self._timings.clear()
+        return out
+
     def close(self):
         with self._cond:
             self._closed = True
@@ -169,6 +189,9 @@ class RequestBatcher:
                 batch = self._take_batch()
                 self._device_calls += 1
                 self._max_coalesced = max(self._max_coalesced, len(batch))
+            t_dispatch = time.perf_counter()
+            for item in batch:
+                item.queue_wait_ms = (t_dispatch - item.t_enqueue) * 1e3
             try:
                 skeleton = np.concatenate([b.skeleton for b in batch])
                 sensor = (
@@ -192,6 +215,12 @@ class RequestBatcher:
                 if not isinstance(e, Exception):
                     raise  # KeyboardInterrupt/SystemExit: stop dispatching
             finally:
+                service_ms = (time.perf_counter() - t_dispatch) * 1e3
+                with self._cond:
+                    for item in batch:
+                        item.service_ms = service_ms
+                        self._timings.append(
+                            (item.queue_wait_ms, service_ms))
                 for item in batch:
                     item.done.set()
 

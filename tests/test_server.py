@@ -372,3 +372,40 @@ def test_healthz_reports_batching_stats(served):
     stats = body["batching"]
     assert stats["requests"] >= 1
     assert 1 <= stats["device_calls"] <= stats["requests"]
+
+
+def test_batcher_records_queue_wait_and_service_timings():
+    """Tail-latency attribution (round 5): every request leaves one
+    (queue_wait_ms, service_ms) pair behind; peers of one coalesced call
+    share the service time, and a request that queued behind an in-flight
+    forward records a positive wait."""
+    from fall_multimodal_tpu.server import RequestBatcher
+
+    fake = _SlowFakePredictor()
+    batcher = RequestBatcher(fake)
+    windows = [np.full((2, 3), i, np.float32) for i in range(3)]
+    threads = [
+        threading.Thread(target=batcher.submit, args=(windows[i][None], None))
+        for i in range(3)
+    ]
+    threads[0].start()
+    while not batcher.stats()["device_calls"]:
+        time.sleep(0.001)
+    for t in threads[1:]:
+        t.start()
+    while batcher.stats()["requests"] < 3:
+        time.sleep(0.001)
+    time.sleep(0.02)                      # measurable queue wait for 1..2
+    fake.gate.set()
+    for t in threads:
+        t.join()
+
+    timings = batcher.drain_timings()
+    assert len(timings) == 3
+    assert all(qw >= 0 and sv >= 0 for qw, sv in timings)
+    # requests 1..2 waited behind request 0's in-flight forward
+    waits = sorted(qw for qw, _ in timings)
+    assert waits[-1] >= 15.0
+    # draining empties the buffer
+    assert batcher.drain_timings() == []
+    batcher.close()
