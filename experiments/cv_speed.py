@@ -73,6 +73,12 @@ def main():
     parser.add_argument("--windows", type=int, default=1152)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--noise", type=float, default=0.45)
+    parser.add_argument("--label-flip", type=float, default=0.0,
+                        help="fraction of train labels flipped (the "
+                             "cv_protocol regime uses 0.15; keeps the run "
+                             "below the accuracy ceiling so per-fold "
+                             "sequential-vs-vmapped accuracies are a "
+                             "sensitive equivalence check, not saturation)")
     parser.add_argument("--arms", default="sequential,vmapped",
                         help="comma list; each runs cold then warm")
     parser.add_argument("--repeats", type=int, default=2,
@@ -97,6 +103,11 @@ def main():
         n_windows=args.windows, num_classes=classes, sensor_dim=sensor_dim,
         windows_per_video=16, noise=args.noise, seed=0,
     )
+    if args.label_flip:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from parity_training import flip_labels
+
+        data = flip_labels(data, args.label_flip, seed=1)
 
     # both drivers see identical fold sizes; the train-window count per
     # epoch differs only by the drivers' own stepping rules, so report each
@@ -136,6 +147,15 @@ def main():
             "train_windows_consumed": consumed,
             "windows_per_sec_warm": round(consumed / float(np.mean(warm)), 1),
             "summary": out["summary"],
+            # per-fold metrics make the equivalence claim checkable
+            # fold-by-fold (below the ceiling they are a sensitive check;
+            # at the ceiling every fold reads 1.0 and proves nothing)
+            "per_fold_test_accuracy": [
+                round(float(f["test_accuracy"]), 4) for f in out["folds"]
+            ],
+            "per_fold_val_accuracy": [
+                round(float(f["val_accuracy"]), 4) for f in out["folds"]
+            ],
         }
 
     if {"sequential", "vmapped"} <= set(results):
@@ -153,6 +173,7 @@ def main():
             "family": args.family, "preset": preset, "folds": args.folds,
             "epochs": args.epochs, "windows": args.windows,
             "batch_size": args.batch_size, "noise": args.noise,
+            "label_flip": args.label_flip,
             "backend": __import__("jax").default_backend(),
             "reference_point": "sequential folds, "
                                "main_cross_validation.py:284-358",
