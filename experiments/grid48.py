@@ -90,10 +90,34 @@ def main():
     points = [dict(zip(keys, vs))
               for vs in itertools.product(*(grid[k] for k in keys))]
     csv_path = os.path.join(HERE, "grid48_results.csv")
-    rows = []
+
+    # resume: a TPU-worker crash kills the jax backend for the whole
+    # process (in-process retries then fail instantly — observed at point
+    # 48/48), so recovery is "re-invoke the script": points already in the
+    # incremental CSV are kept, only the missing ones run
+    rows, resumed = [], False
+    if os.path.exists(csv_path):
+        with open(csv_path) as fh:
+            for row in csv.DictReader(fh):
+                rows.append({
+                    "embed_dim": int(row["embed_dim"]),
+                    "n_stage": int(row["n_stage"]),
+                    "act_type": row["act_type"],
+                    "val_accuracy": float(row["val_accuracy"]),
+                    "test_accuracy": float(row["test_accuracy"]),
+                })
+        if rows:
+            resumed = True
+            logger.info(f"resuming: {len(rows)} points already in CSV")
+    done = {tuple(r[k] for k in keys) for r in rows}
+
     t0 = time.perf_counter()
+    point_seconds = {}
     for pt in points:
+        if tuple(pt[k] for k in keys) in done:
+            continue
         last_err = None
+        tp = time.perf_counter()
         for attempt in range(3):
             try:
                 row = grid_search(
@@ -106,6 +130,8 @@ def main():
                 logger.warning(f"point {pt} attempt {attempt}: {e}")
         else:
             raise last_err
+        point_seconds[str(tuple(pt[k] for k in keys))] = round(
+            time.perf_counter() - tp, 1)
         row.pop("rank", None)          # rank is global; re-derived below
         rows.append(row)
         # global rank by val accuracy over the rows so far
@@ -118,6 +144,7 @@ def main():
             w.writeheader()
             w.writerows(rows)
     wall = time.perf_counter() - t0
+    n_new = len(point_seconds)
 
     best = min(rows, key=lambda r: r["rank"])
     payload = {
@@ -134,8 +161,13 @@ def main():
             "reference_point": "hyperparameter_tuning.py:442-471 "
                                "(URFALL block :301-306)",
         },
-        "wall_seconds_total": round(wall, 1),
-        "seconds_per_point_mean": round(wall / len(rows), 2),
+        "resumed": resumed,
+        "points_run_this_invocation": n_new,
+        "wall_seconds_this_invocation": round(wall, 1),
+        "seconds_per_point_mean": (
+            round(wall / n_new, 2) if n_new else None
+        ),
+        "point_seconds_this_invocation": point_seconds,
         "best_point": best,
         "rows": rows,
     }
