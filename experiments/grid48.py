@@ -44,6 +44,12 @@ def main():
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--noise", type=float, default=0.45)
     parser.add_argument("--label-flip", type=float, default=0.15)
+    parser.add_argument("--scan-chunk", type=int, default=None,
+                        help="epochs per fused device call from attempt 0 "
+                             "(a worker crash kills the in-process jax "
+                             "backend, so the chunked fallback must be "
+                             "requested up front in the fresh resume "
+                             "invocation)")
     parser.add_argument("--limit", type=int, default=None,
                         help="smoke-test: truncate the grid's act_type axis "
                              "to cut the point count (full 48 when unset)")
@@ -119,9 +125,19 @@ def main():
         last_err = None
         tp = time.perf_counter()
         for attempt in range(3):
+            # the whole-run fused program for the largest configs can crash
+            # the TPU worker (observed 3x on embed 64 / n_stage 4 / gelu);
+            # retries fall back to chunked fused mode (25-epoch device
+            # calls) — same curves by construction, smaller programs
+            import dataclasses as _dc
+
+            chunk = args.scan_chunk if attempt == 0 else 25
+            cfg_pt = cfg if chunk is None else cfg.replace(
+                train=_dc.replace(cfg.train, scan_epochs=chunk)
+            )
             try:
                 row = grid_search(
-                    cfg, data, {k: [v] for k, v in pt.items()},
+                    cfg_pt, data, {k: [v] for k, v in pt.items()},
                     epochs=args.epochs, logger=logger,
                 )[0]
                 break

@@ -33,6 +33,12 @@ class TrainConfig:
     # than the same step standalone). auto = scan on accelerators, host
     # loop on the cpu backend.
     epoch_impl: str = "auto"         # auto | scan | host
+    # fused-epoch chunking: when the scan impl fuses the whole run into one
+    # device program, an int bounds the epochs per device call (rounded to
+    # a divisor of n_epochs — see loop.equal_chunk). Long single executions
+    # and very large fused programs can crash this platform's TPU worker;
+    # None = fit()'s auto behavior (whole run in one call).
+    scan_epochs: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -142,6 +142,7 @@ def run_fold(
         step_metrics_callback=step_metrics_callback,
         lr_fn=lr_fn if callable(lr_fn) else None,
         epoch_impl=config.train.epoch_impl,
+        scan_epochs=config.train.scan_epochs,
         log_every=config.logging_interval,
         mesh=mesh,
         augment_fn=augment_fn,

@@ -307,3 +307,24 @@ def test_fused_empty_valid_split_raises_clearly():
     with pytest.raises(ValueError, match="empty split"):
         fit(model, optimizer, state, splits, epochs=1, batch_size=32,
             num_classes=3, epoch_impl="scan", scan_epochs=True)
+
+
+def test_config_scan_epochs_plumbs_through_run_fold():
+    """train.scan_epochs (round 5): chunked fused mode is a config knob —
+    run_fold passes it to fit(), and the chunked run is epoch-for-epoch
+    identical to the whole-run fused default."""
+    from fall_multimodal_tpu.train.cv import run_fold
+
+    splits = _device_splits(3, 6, n=160)
+    results = {}
+    for chunk in (None, 2):
+        cfg = load_config(
+            preset_path("bilstm"),
+            overrides={"data.num_classes": 3, "train.epoch_impl": "scan",
+                       "train.scan_epochs": chunk},
+        )
+        results[chunk] = run_fold(cfg, splits, epochs=4)
+    np.testing.assert_allclose(results[None].history["val_acc"],
+                               results[2].history["val_acc"], atol=1e-5)
+    assert results[None].best_val_accuracy == pytest.approx(
+        results[2].best_val_accuracy, abs=1e-5)
